@@ -1,0 +1,260 @@
+"""Configuration for the jatsr_tpu framework.
+
+The reference repo expresses each experiment "version" as a full copy of the
+training script (train_ddp*.py x9, see /root/reference).  Here every version
+is a *preset* of the same dataclasses:
+
+==========  =========================================  ============================
+preset      model                                      training specifics
+==========  =========================================  ============================
+``v1``      DiT 512h/12L 8Q/4KV  (~60 M)               MSE (ref train_ddp_v1.py:64)
+``v2``      DiT 1024h/16L 16Q/4KV (~288 M)             MSE (ref train_ddp_v2.py:64)
+``v3``      DiT 1280h/28L 20Q/4KV (~766 M)             MSE (ref train_ddp_v3.py:64)
+``v3m2``    v3 + RMSNorm                               MSE + CFG dropout 0.1,
+                                                       cond-noise 0.02
+                                                       (ref train_ddp_v3m2.py:86)
+``v3mod2``  v3 (LayerNorm)                             MSE + latent-perceptual
+                                                       stack (ref
+                                                       train_ddp_v3mod2.py:361)
+``v3mod3``  v3 (LayerNorm)                             Charbonnier + latent-
+                                                       perceptual (ref
+                                                       train_ddp_v3mod3.py:400)
+==========  =========================================  ============================
+
+All presets share the DAC latent geometry: 1024 channels, x512 hop at
+44.1 kHz, 16 s training crops -> 1378 frames -> 345 patches of length 4
+(ref train_ddp_v3mod2.py:337-340).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """DiT architecture (ref src/models/jat_audiosr_v2.py:292-448, _v3.py:311)."""
+
+    input_channels: int = 1024
+    cond_channels: int = 1024
+    patch_len: int = 4
+    hidden_size: int = 1280
+    depth: int = 28
+    num_q_heads: int = 20
+    num_kv_heads: int = 4
+    bottleneck_dim: int = 512
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+    drop_path_rate: float = 0.05
+    norm: str = "layer"  # "layer" (v2, ref jat_audiosr_v2.py:242) | "rms" (v3, ref jat_audiosr_v3.py:261)
+    rope_base: float = 10000.0
+    rope_max_seq_len: int = 4096  # ref jat_audiosr_v2.py:53
+    max_len: int = 2048  # max patch-sequence length (ref jat_audiosr_v2.py:338)
+    # dtype policy: bf16 compute / fp32 params is TPU-native; fp32 islands are
+    # kept for the time embedding and the final output.
+    dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Attention backend: "xla" (einsum, default) or "pallas" (fused kernel).
+    attention_impl: str = "xla"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_q_heads == 0
+        return self.hidden_size // self.num_q_heads
+
+    @property
+    def num_groups(self) -> int:
+        assert self.num_q_heads % self.num_kv_heads == 0
+        return self.num_q_heads // self.num_kv_heads
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss stack (ref train_ddp_v3mod2.py:361-373, _v3mod3.py:400-436)."""
+
+    # Main reconstruction loss: "mse" or "charbonnier".
+    reconstruction: str = "mse"
+    charbonnier_eps: float = 1e-6
+    reconstruction_weight: float = 1.0
+
+    # Latent Perceptual Loss stack.
+    use_latent_perceptual: bool = False
+    latent_loss_weight: float = 0.3  # weight relative to reconstruction
+    freq_weight: float = 0.5
+    ms_weight: float = 0.5
+    consistency_weight: float = 0.1
+    low_freq_phase_ratio: float = 0.3  # phase constraint on lowest 30% bins
+    ms_scales: Tuple[int, ...] = (1, 2, 4)
+    strict_cutoff: float = 0.30  # consistency: complex-L1 band
+    soft_cutoff: float = 0.36  # consistency: 16k/44.1k transition edge
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data geometry + preprocessing (ref prepare_dataset_v5.py:37-69)."""
+
+    data_dir: str = "data_processed"
+    stats_file: str = "global_stats_separated.json"
+    target_duration: float = 16.0
+    dac_sample_rate: int = 44100
+    dac_hop_length: int = 512
+    samples_per_epoch_multiplier: int = 6  # ref train_ddp_v3mod2.py:481
+
+    # Offline preprocessing (prepare_dataset).
+    high_sr: int = 48000
+    low_sr: int = 16000
+    chunk_duration: float = 7.0  # valid seconds per encode chunk
+    overlap_duration: float = 0.5  # context seconds on each side
+    min_duration: float = 1.0
+    val_ratio: float = 0.1
+    split_seed: int = 42
+
+    @property
+    def target_frames(self) -> int:
+        # 16 * 44100 / 512 = 1378 (ref train_ddp_v3mod2.py:340)
+        return int(self.target_duration * self.dac_sample_rate / self.dac_hop_length)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training runtime (ref train_ddp_v3mod2.py:327-386)."""
+
+    seed: int = 42
+    batch_size: int = 28  # per data-parallel shard
+    lr: float = 5e-5
+    weight_decay: float = 0.1
+    warmup_steps: int = 1000
+    num_epochs: int = 300
+    grad_clip: float = 1.0
+
+    # Regularisation (ref train_ddp_v3mod2.py:358-359, _v3m2.py:86-88).
+    condition_noise_ratio: float = 0.05
+    use_adaptive_noise: bool = True
+    cfg_dropout_prob: float = 0.0  # sample-level cond dropout (v3m2: 0.1)
+
+    # U-shaped timestep sampling exponent (ref train_ddp_v3mod2.py:449-457).
+    timestep_alpha: float = 0.5
+
+    # Checkpointing / logging (ref train_ddp_v3mod2.py:384-386).
+    save_dir_base: str = "checkpoints"
+    log_dir_base: str = "runs"
+    save_interval_steps: int = 1000
+    log_interval_steps: int = 10
+
+    # Parallelism: data-parallel shards x tensor-parallel shards.
+    mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
+    # Rematerialise DiT blocks in the backward pass (trades FLOPs for HBM).
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Flow-matching Euler ODE sampling (ref infer_test_v3m2.py:107-185)."""
+
+    num_steps: int = 50
+    cfg_scale: float = 1.0
+    t_jump_threshold: float = 0.999  # jump-to-x0 guard near t=1
+    velocity_eps: float = 1e-5  # 1/(1-t+eps) guard
+    # Chunked long-audio inference (ref infer_test_v3m2.py:339-362).
+    chunk_duration: float = 16.0
+    overlap_duration: float = 2.0
+
+
+@dataclass(frozen=True)
+class Preset:
+    name: str
+    model: ModelConfig
+    loss: LossConfig
+    train: TrainConfig
+    data: DataConfig = field(default_factory=DataConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+
+    def replace(self, **kw) -> "Preset":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _mk(name, model_kw, loss_kw, train_kw) -> Preset:
+    return Preset(
+        name=name,
+        model=ModelConfig(**model_kw),
+        loss=LossConfig(**loss_kw),
+        train=TrainConfig(**train_kw),
+    )
+
+
+_V3_MODEL = dict(hidden_size=1280, depth=28, num_q_heads=20, num_kv_heads=4)
+
+_PRESETS = {
+    # 60 M sanity config (ref train_ddp_v1.py:64-72).
+    "v1": _mk(
+        "v1",
+        dict(hidden_size=512, depth=12, num_q_heads=8, num_kv_heads=4,
+             drop_path_rate=0.0),
+        dict(reconstruction="mse"),
+        dict(),
+    ),
+    # 288 M (ref train_ddp_v2.py:64-72).
+    "v2": _mk(
+        "v2",
+        dict(hidden_size=1024, depth=16, num_q_heads=16, num_kv_heads=4,
+             drop_path_rate=0.0),
+        dict(reconstruction="mse"),
+        dict(),
+    ),
+    # 766 M MSE baseline (ref train_ddp_v3.py:64-72).
+    "v3": _mk("v3", dict(**_V3_MODEL), dict(reconstruction="mse"), dict()),
+    # RMSNorm + CFG training (ref train_ddp_v3m2.py:64-91, jat_audiosr_v3.py).
+    "v3m2": _mk(
+        "v3m2",
+        dict(**_V3_MODEL, norm="rms"),
+        dict(reconstruction="mse"),
+        dict(cfg_dropout_prob=0.1, condition_noise_ratio=0.02),
+    ),
+    # Recommended config: latent-perceptual stack (ref train_ddp_v3mod2.py).
+    "v3mod2": _mk(
+        "v3mod2",
+        dict(**_V3_MODEL),
+        dict(reconstruction="mse", use_latent_perceptual=True),
+        dict(),
+    ),
+    # Charbonnier main loss (ref train_ddp_v3mod3.py:402-436).
+    "v3mod3": _mk(
+        "v3mod3",
+        dict(**_V3_MODEL),
+        dict(reconstruction="charbonnier", use_latent_perceptual=True),
+        dict(),
+    ),
+    # RMSNorm + CFG + Charbonnier (ref train_ddp_v3m2mod1.py:72-140).
+    "v3m2mod1": _mk(
+        "v3m2mod1",
+        dict(**_V3_MODEL, norm="rms"),
+        dict(reconstruction="charbonnier"),
+        dict(cfg_dropout_prob=0.1, condition_noise_ratio=0.02),
+    ),
+    # Tiny config for tests / overfit gates (not in reference; analogous to
+    # tests/test_dac_overfit_v2.py's small model).
+    "tiny": _mk(
+        "tiny",
+        dict(hidden_size=128, depth=2, num_q_heads=4, num_kv_heads=2,
+             bottleneck_dim=64, dropout=0.0, drop_path_rate=0.0),
+        dict(reconstruction="mse"),
+        dict(batch_size=2, warmup_steps=10),
+    ),
+}
+
+
+def get_preset(name: str) -> Preset:
+    try:
+        return _PRESETS[name]
+    except KeyError:
+        raise KeyError(f"Unknown preset {name!r}; available: {sorted(_PRESETS)}")
+
+
+def list_presets():
+    return sorted(_PRESETS)

@@ -1,0 +1,310 @@
+"""JaT-AudioSR DiT family, TPU-native (Flax linen).
+
+Re-design of the reference DiT (src/models/jat_audiosr_v2.py:292-448 and
+jat_audiosr_v3.py:311-471) for JAX/XLA on TPU:
+
+- **Time-major layout** ``[B, T, C]`` — the 1024-channel axis sits last and
+  maps onto TPU lanes; patchify is then a pure reshape (no transposes in the
+  hot path).  The reference uses ``[B, C, T]`` + permutes
+  (jat_audiosr_v2.py:224-227).
+- **Scanned blocks** — the `depth` DiT blocks run under ``nn.scan`` with
+  stacked parameters: one trace instead of 28, which slashes compile time and
+  lets XLA pipeline the layer loop.  Per-layer stochastic-depth rates are fed
+  as a scanned-over array (reference builds a Python list,
+  jat_audiosr_v2.py:351).
+- **Grouped-query attention without KV materialisation** — the reference
+  ``repeat_interleave``s KV up to the query head count
+  (jat_audiosr_v2.py:147-148); here the group axis lives in the einsum, so KV
+  stays at ``num_kv_heads`` width in HBM/VMEM.
+- **bf16 compute, fp32 islands** — parameters and softmax/logit accumulation
+  in fp32, activations bf16 (replaces the reference's AMP GradScaler path,
+  train_ddp_v3mod2.py:745).  The sinusoidal time embedding is always fp32.
+- **AdaLN-Zero** — modulation nets and the final projection are zero-init so
+  the model is the identity at step 0, matching jat_audiosr_v2.py:372-381.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import ModelConfig
+
+# ---------------------------------------------------------------------------
+# Positional / time embeddings
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_time_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Sinusoidal embedding of continuous t in [0, 1].
+
+    Matches the reference formula (jat_audiosr_v2.py:177-190): frequencies
+    ``exp(-log(10000) * i / (dim/2 - 1))``, output ``[sin | cos]``.
+    Always computed in fp32 (small-angle precision matters at t ~ 0).
+    """
+    half = dim // 2
+    t = t.astype(jnp.float32)
+    scale = math.log(10000.0) / (half - 1)
+    freqs = jnp.exp(-scale * jnp.arange(half, dtype=jnp.float32))
+    args = t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def rope_cos_sin(seq_len: int, dim: int, base: float = 10000.0):
+    """Precompute RoPE cos/sin tables ``[N, dim]`` in fp32.
+
+    Half-rotation ("GPT-NeoX") layout, matching jat_audiosr_v2.py:60-68:
+    frequencies repeat as ``[f0..f_{d/2-1}, f0..f_{d/2-1}]``.
+    """
+    inv_freq = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [N, dim/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [N, dim]
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate ``x[..., N, H, D]`` by position along axis -3.
+
+    cos/sin are ``[N, D]`` fp32; rotation happens in the input dtype (the
+    tables are cast) — ref jat_audiosr_v2.py:79-91.
+    """
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    x_rot = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, None, :].astype(x.dtype)  # [N, 1, D]
+    sin = sin[:, None, :].astype(x.dtype)
+    return x * cos + x_rot * sin
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+class GQAttention(nn.Module):
+    """Grouped-query attention with RoPE (ref jat_audiosr_v2.py:94-167).
+
+    KV heads are kept narrow; the query-group axis is contracted inside the
+    einsum rather than materialised.  Logits/softmax run in fp32.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, *, deterministic: bool):
+        cfg = self.cfg
+        B, N, _ = x.shape
+        Hq, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+        G = cfg.num_groups
+        dtype = jnp.dtype(cfg.dtype)
+        dense = lambda feat, name: nn.Dense(
+            feat, use_bias=False, dtype=dtype,
+            param_dtype=jnp.dtype(cfg.param_dtype), name=name)
+
+        q = dense(Hq * D, "q_proj")(x).reshape(B, N, Hq, D)
+        k = dense(Hkv * D, "k_proj")(x).reshape(B, N, Hkv, D)
+        v = dense(Hkv * D, "v_proj")(x).reshape(B, N, Hkv, D)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        q = q.reshape(B, N, Hkv, G, D)
+        # Logits in fp32 on the MXU.
+        scores = jnp.einsum(
+            "bnkgd,bmkd->bkgnm", q, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * (1.0 / math.sqrt(D))
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        if cfg.dropout > 0.0:
+            weights = nn.Dropout(rate=cfg.dropout)(
+                weights, deterministic=deterministic
+            )
+        weights = weights.astype(dtype)
+        out = jnp.einsum(
+            "bkgnm,bmkd->bnkgd", weights, v, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        out = out.reshape(B, N, Hq * D)
+        return dense(cfg.hidden_size, "out_proj")(out)
+
+
+# ---------------------------------------------------------------------------
+# DiT block
+# ---------------------------------------------------------------------------
+
+
+def _norm(cfg: ModelConfig, name: str):
+    """Affine-free norm: LayerNorm for v2 (jat_audiosr_v2.py:242), RMSNorm
+    for v3 (jat_audiosr_v3.py:261)."""
+    if cfg.norm == "rms":
+        return nn.RMSNorm(use_scale=False, epsilon=1e-6, dtype=jnp.dtype(cfg.dtype),
+                          name=name)
+    return nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                        dtype=jnp.dtype(cfg.dtype), name=name)
+
+
+def _drop_path(x, rate, deterministic, rng):
+    """Per-sample stochastic depth (ref jat_audiosr_v2.py:21-35).
+
+    `rate` is a traced scalar (scanned per-layer), so the keep decision uses
+    jnp.where rather than Python branching.
+    """
+    if deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, dtype=jnp.float32))
+    return (x / keep.astype(x.dtype)) * mask.astype(x.dtype)
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-Zero DiT block with GQA (ref jat_audiosr_v2.py:234-289)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, t_emb, cos, sin, dp_rate, deterministic: bool):
+        cfg = self.cfg
+        H = cfg.hidden_size
+        dtype = jnp.dtype(cfg.dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+
+        # AdaLN modulation: SiLU -> Dense(6H), zero-init (jat_audiosr_v2.py:256-259,
+        # 375-377).  Computed from the fp32 t_emb, emitted in compute dtype.
+        mod = nn.Dense(
+            6 * H, dtype=dtype, param_dtype=pdtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="adaln",
+        )(nn.silu(t_emb))
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        expand = lambda m: m[:, None, :]
+
+        h = _norm(cfg, "norm1")(x)
+        h = h * (1 + expand(scale_msa)) + expand(shift_msa)
+        h = GQAttention(cfg, name="attn")(h, cos, sin, deterministic=deterministic)
+        h = expand(gate_msa) * h
+        if not deterministic:
+            h = _drop_path(h, dp_rate, deterministic, self.make_rng("dropout"))
+        x = x + h
+
+        h = _norm(cfg, "norm2")(x)
+        h = h * (1 + expand(scale_mlp)) + expand(shift_mlp)
+        mlp_dim = int(H * cfg.mlp_ratio)
+        h = nn.Dense(mlp_dim, dtype=dtype, param_dtype=pdtype, name="mlp_in")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(H, dtype=dtype, param_dtype=pdtype, name="mlp_out")(h)
+        h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
+        h = expand(gate_mlp) * h
+        if not deterministic:
+            h = _drop_path(h, dp_rate, deterministic, self.make_rng("dropout"))
+        x = x + h
+        # (carry, per-step output) contract so the block scans under nn.scan.
+        return x, None
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+class DiT(nn.Module):
+    """x0-prediction DiT over DAC latents (ref jat_audiosr_v2.py:292-448).
+
+    Inputs are **time-major**:
+
+    Args:
+        x_t:    [B, T, C]  noisy latent.
+        t:      [B]        flow time in [0, 1].
+        x_cond: [B, T, C]  LR-condition latent.
+    Returns:
+        [B, T, C] predicted clean latent (fp32).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x_t, t, x_cond, *, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+        B, T_orig, C = x_t.shape
+        assert C == cfg.input_channels, (C, cfg.input_channels)
+        P = cfg.patch_len
+
+        # Pad T to a multiple of the patch length (jat_audiosr_v2.py:412-416).
+        pad = (-T_orig) % P
+        if pad:
+            x_t = jnp.pad(x_t, ((0, 0), (0, pad), (0, 0)))
+            x_cond = jnp.pad(x_cond, ((0, 0), (0, pad), (0, 0)))
+        T = T_orig + pad
+        N = T // P
+        if N > cfg.max_len:
+            raise ValueError(f"sequence length {N} exceeds max_len {cfg.max_len}")
+
+        # Patchify: concat channels, then reshape — time-major means no
+        # permutes (reference needs permute(0,2,1,3), jat_audiosr_v2.py:226).
+        x_in = jnp.concatenate([x_t, x_cond], axis=-1)  # [B, T, 2C]
+        x_in = x_in.reshape(B, N, P * 2 * C).astype(dtype)
+
+        # Bottleneck patch embed: Dense(P*2C -> bottleneck) -> GELU -> Dense
+        # (jat_audiosr_v2.py:204-208).
+        h = nn.Dense(cfg.bottleneck_dim, dtype=dtype, param_dtype=pdtype,
+                     name="patch_in")(x_in)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=dtype, param_dtype=pdtype,
+                     name="patch_out")(h)
+
+        # Time embedding MLP (fp32; jat_audiosr_v2.py:341-346).
+        t_emb = sinusoidal_time_embedding(t, cfg.hidden_size)
+        t_emb = nn.Dense(cfg.hidden_size, param_dtype=pdtype, dtype=jnp.float32,
+                         name="t_mlp1")(t_emb)
+        t_emb = nn.silu(t_emb)
+        t_emb = nn.Dense(cfg.hidden_size, param_dtype=pdtype, dtype=jnp.float32,
+                         name="t_mlp2")(t_emb)
+        t_emb = t_emb.astype(dtype)
+
+        # RoPE tables for this sequence length (fp32, cast inside).
+        cos, sin = rope_cos_sin(N, cfg.head_dim, cfg.rope_base)
+
+        # Per-layer stochastic-depth rates, linear ramp 0 -> drop_path_rate
+        # (jat_audiosr_v2.py:351).
+        dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+
+        # Scan the blocks: stacked params, single trace.  Blocks are
+        # rematerialised (recomputed in backward) — the standard TPU
+        # FLOPs-for-HBM trade; forward-only paths are unaffected.
+        block = nn.remat(DiTBlock, static_argnums=(6,))  # 6 = deterministic (incl. self)
+        ScannedBlocks = nn.scan(
+            block,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            length=cfg.depth,
+        )
+        h, _ = ScannedBlocks(cfg, name="blocks")(h, t_emb, cos, sin, dpr,
+                                                 deterministic)
+
+        # Final layer: affine-free norm + zero-init Dense(H -> P*C)
+        # (jat_audiosr_v2.py:358-363, 379-381).
+        h = _norm(cfg, "final_norm")(h)
+        h = nn.Dense(
+            P * C, dtype=dtype, param_dtype=pdtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            name="final_proj",
+        )(h)
+
+        # Unpatchify (pure reshape in time-major layout) and trim padding.
+        out = h.reshape(B, T, C)
+        if pad:
+            out = out[:, :T_orig, :]
+        return out.astype(jnp.float32)
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,123 @@
+"""Flow-matching math and the Euler ODE sampler (jitted, CFG-batched).
+
+Reference behaviour reproduced here:
+
+- Interpolation ``z_t = t*x0 + (1-t)*noise`` (train_ddp_v3mod2.py:881-883):
+  t=0 is pure noise, t=1 clean data.
+- U-shaped timestep sampling with alpha=0.5
+  (train_ddp_v3mod2.py:449-457).
+- x-prediction Euler sampler with the ``1/(1 - t + 1e-5)`` velocity guard and
+  the jump-to-x0 at t >= 0.999 (infer_test_v3m2.py:169-179).
+- CFG by batch-doubling with a zero null condition and
+  ``x = x_u + s*(x_c - x_u)`` (infer_test_v3m2.py:152-164).
+
+TPU-first differences from the reference:
+
+- The whole ODE runs inside **one jitted ``lax.fori_loop``** — 50 steps
+  compile to a single XLA program; the reference re-launches a Python loop of
+  model calls per step (infer_test_v3m2.py:144).
+- CFG batching is baked into the same program (one forward on 2B), and many
+  audio chunks can be batched through the sampler in one call.
+- The latent state is donated between steps; no host sync until the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import SamplerConfig
+
+
+def flow_interpolate(x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+    """``z_t = t*x0 + (1-t)*noise`` with t broadcast over [B, T, C]."""
+    t = t.reshape((-1,) + (1,) * (x0.ndim - 1)).astype(x0.dtype)
+    return t * x0 + (1.0 - t) * noise
+
+
+def u_shaped_timesteps(key: jax.Array, batch: int, alpha: float = 0.5) -> jax.Array:
+    """U-shaped t-sampling: denser near 0 and 1 (train_ddp_v3mod2.py:449)."""
+    u = jax.random.uniform(key, (batch,), dtype=jnp.float32)
+    lo = 0.5 * (2.0 * u) ** alpha
+    hi = 1.0 - 0.5 * (2.0 * (1.0 - u)) ** alpha
+    return jnp.where(u < 0.5, lo, hi)
+
+
+class FlowSampler:
+    """Jitted Euler ODE sampler for an x0-prediction model.
+
+    Args:
+        model_fn: ``f(z_t [B,T,C], t [B], cond [B,T,C]) -> x0_pred [B,T,C]``.
+            Typically ``lambda z, t, c: model.apply({'params': p}, z, t, c)``.
+        cfg: sampler hyperparameters.
+    """
+
+    def __init__(self, model_fn: Callable, cfg: Optional[SamplerConfig] = None):
+        self.model_fn = model_fn
+        self.cfg = cfg or SamplerConfig()
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _sample_nocfg(self, cond, z0, timesteps):
+        eps = self.cfg.velocity_eps
+        jump = self.cfg.t_jump_threshold
+
+        def body(i, z):
+            t_curr = timesteps[i]
+            dt = timesteps[i + 1] - t_curr
+            t_b = jnp.full((z.shape[0],), t_curr, dtype=jnp.float32)
+            x_pred = self.model_fn(z, t_b, cond).astype(z.dtype)
+            v = (x_pred - z) / (1.0 - t_curr + eps)
+            return jnp.where(t_curr < jump, z + v * dt, x_pred)
+
+        n = timesteps.shape[0] - 1
+        return jax.lax.fori_loop(0, n, body, z0)
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
+    def _sample_cfg(self, cond, z0, timesteps, cfg_scale):
+        eps = self.cfg.velocity_eps
+        jump = self.cfg.t_jump_threshold
+        B = z0.shape[0]
+        # Conditional half first, unconditional (zero) half second — one
+        # forward on 2B per step (infer_test_v3m2.py:154-156).
+        cond_full = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+
+        def body(i, z):
+            t_curr = timesteps[i]
+            dt = timesteps[i + 1] - t_curr
+            z2 = jnp.concatenate([z, z], axis=0)
+            t_b = jnp.full((2 * B,), t_curr, dtype=jnp.float32)
+            pred = self.model_fn(z2, t_b, cond_full).astype(z.dtype)
+            x_c, x_u = pred[:B], pred[B:]
+            x_pred = x_u + cfg_scale * (x_c - x_u)
+            v = (x_pred - z) / (1.0 - t_curr + eps)
+            return jnp.where(t_curr < jump, z + v * dt, x_pred)
+
+        n = timesteps.shape[0] - 1
+        return jax.lax.fori_loop(0, n, body, z0)
+
+    def __call__(
+        self,
+        key: jax.Array,
+        cond: jax.Array,
+        num_steps: Optional[int] = None,
+        cfg_scale: Optional[float] = None,
+    ) -> jax.Array:
+        """Sample HR latents given normalized LR-condition latents.
+
+        Args:
+            key: PRNG key for the initial noise.
+            cond: [B, T, C] normalized LR latents.
+            num_steps / cfg_scale: optional overrides of the config.
+        Returns:
+            [B, T, C] generated normalized HR latents.
+        """
+        num_steps = num_steps or self.cfg.num_steps
+        cfg_scale = self.cfg.cfg_scale if cfg_scale is None else cfg_scale
+        z0 = jax.random.normal(key, cond.shape, dtype=jnp.float32)
+        timesteps = jnp.linspace(0.0, 1.0, num_steps + 1, dtype=jnp.float32)
+        if cfg_scale != 1.0:
+            return self._sample_cfg(cond, z0, timesteps, jnp.float32(cfg_scale))
+        return self._sample_nocfg(cond, z0, timesteps)

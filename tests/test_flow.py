@@ -1,0 +1,69 @@
+"""Flow-matching math + Euler/CFG sampler properties
+(ref infer_test_v3m2.py:107-185, train_ddp_v3mod2.py:449-457)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jatsr_tpu.configs import SamplerConfig
+from jatsr_tpu.sampling import FlowSampler, flow_interpolate, u_shaped_timesteps
+
+
+def test_interpolation_endpoints():
+    x0 = jnp.ones((2, 4, 3))
+    noise = jnp.full((2, 4, 3), -1.0)
+    z0 = flow_interpolate(x0, noise, jnp.zeros(2))
+    z1 = flow_interpolate(x0, noise, jnp.ones(2))
+    np.testing.assert_allclose(np.asarray(z0), -1.0)
+    np.testing.assert_allclose(np.asarray(z1), 1.0)
+
+
+def test_u_shaped_distribution():
+    t = np.asarray(u_shaped_timesteps(jax.random.PRNGKey(0), 20000, alpha=0.5))
+    assert t.min() >= 0.0 and t.max() <= 1.0
+    # With alpha=0.5 the reference mapping has pdf(t) = 4t on [0, 0.5]
+    # (mirrored above): mass concentrates towards t=0.5, away from edges.
+    # (Despite the "U-shaped" name, this is what train_ddp_v3mod2.py:449-457
+    # computes; we reproduce the formula, and this pins its actual shape.)
+    edges = np.mean((t < 0.1) | (t > 0.9))
+    mid = np.mean((t > 0.45) & (t < 0.55))
+    assert mid > 2.0 * edges
+    # Symmetry around 0.5.
+    assert abs(t.mean() - 0.5) < 0.01
+
+
+def test_u_shaped_matches_reference_formula():
+    """Transcription check of train_ddp_v3mod2.py:449-457."""
+    key = jax.random.PRNGKey(1)
+    u = np.asarray(jax.random.uniform(key, (1000,), dtype=jnp.float32))
+    want = np.where(u < 0.5, (2 * u) ** 0.5 / 2, 1 - ((2 * (1 - u)) ** 0.5) / 2)
+    got = np.asarray(u_shaped_timesteps(key, 1000, alpha=0.5))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_euler_converges_to_oracle_x0():
+    """A model that always predicts the target x0 must be integrated back to
+    exactly that x0 (the t>=0.999 jump guarantees the endpoint)."""
+    target = jnp.asarray(np.random.RandomState(0).randn(2, 8, 4), jnp.float32)
+    sampler = FlowSampler(lambda z, t, c: target, SamplerConfig(num_steps=25))
+    out = sampler(jax.random.PRNGKey(0), jnp.zeros((2, 8, 4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-4)
+
+
+def test_cfg_formula():
+    """model = identity-on-cond  =>  CFG output = s*cond (uncond half sees a
+    zero condition), per infer_test_v3m2.py:163-164."""
+    cond = jnp.asarray(np.random.RandomState(1).randn(3, 8, 4), jnp.float32)
+    sampler = FlowSampler(lambda z, t, c: c, SamplerConfig(num_steps=10))
+    out = sampler(jax.random.PRNGKey(0), cond, cfg_scale=2.0)
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(cond), atol=1e-4)
+
+
+def test_cfg_scale_one_equals_uncond_path():
+    cond = jnp.asarray(np.random.RandomState(2).randn(1, 8, 4), jnp.float32)
+    f = lambda z, t, c: 0.5 * c + 0.1 * z
+    a = FlowSampler(f, SamplerConfig(num_steps=8))(jax.random.PRNGKey(3), cond)
+    b = FlowSampler(f, SamplerConfig(num_steps=8, cfg_scale=1.0))(
+        jax.random.PRNGKey(3), cond
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,0 +1,119 @@
+"""DiT shape/behaviour tests (mirrors the reference's test_model() self-tests
+in src/models/jat_audiosr_v2.py:451-491 and the AdaLN-Zero init contract)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jatsr_tpu.configs import ModelConfig, get_preset
+from jatsr_tpu.models import DiT, count_params
+from jatsr_tpu.models.dit import rope_cos_sin, sinusoidal_time_embedding
+
+TINY = get_preset("tiny").model
+
+
+def _init(cfg, B=2, T=24):
+    model = DiT(cfg)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, T, cfg.input_channels))
+    t = jax.random.uniform(key, (B,))
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.cond_channels))
+    params = model.init({"params": key, "dropout": key}, x, t, c)["params"]
+    return model, params, (x, t, c)
+
+
+@pytest.mark.parametrize("T", [24, 26])  # divisible and non-divisible by patch_len
+def test_forward_shapes(T):
+    cfg = TINY
+    model, params, _ = _init(cfg, B=2, T=24)
+    x = jnp.ones((2, T, cfg.input_channels))
+    t = jnp.full((2,), 0.5)
+    c = jnp.ones((2, T, cfg.cond_channels))
+    out = model.apply({"params": params}, x, t, c)
+    assert out.shape == (2, T, cfg.input_channels)
+    assert out.dtype == jnp.float32
+
+
+def test_zero_init_output_is_zero():
+    """AdaLN-Zero + zero final layer => output exactly 0 at init
+    (ref jat_audiosr_v2.py:372-381)."""
+    model, params, (x, t, c) = _init(TINY)
+    out = model.apply({"params": params}, x, t, c)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_deterministic_eval_reproducible():
+    model, params, (x, t, c) = _init(TINY)
+    o1 = model.apply({"params": params}, x, t, c)
+    o2 = model.apply({"params": params}, x, t, c)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_dropout_path_runs():
+    cfg = ModelConfig(**{**TINY.__dict__, "dropout": 0.1, "drop_path_rate": 0.1})
+    model, params, (x, t, c) = _init(cfg)
+    out = model.apply(
+        {"params": params}, x, t, c, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    assert out.shape == x.shape
+
+
+def test_param_counts_match_reference_formula():
+    """Parameter totals for the reference configs
+    (ref calculate_model_params.py:35-47, README.md:57-63)."""
+    expected = {"v1": 60e6, "v2": 288e6, "v3": 766e6}
+    for name, approx in expected.items():
+        cfg = get_preset(name).model
+        # count analytically without materialising the large params
+        H, D_, P, C = cfg.hidden_size, cfg.depth, cfg.patch_len, cfg.input_channels
+        kv = cfg.num_kv_heads * cfg.head_dim
+        patch = (P * 2 * C) * cfg.bottleneck_dim + cfg.bottleneck_dim \
+            + cfg.bottleneck_dim * H + H
+        t_mlp = 2 * (H * H + H)
+        attn = H * H + 2 * H * kv + H * H
+        mlp = H * int(H * cfg.mlp_ratio) * 2 + int(H * cfg.mlp_ratio) + H
+        adaln = H * 6 * H + 6 * H
+        final = H * P * C + P * C
+        total = patch + t_mlp + D_ * (attn + mlp + adaln) + final
+        assert abs(total - approx) / approx < 0.08, (name, total)
+
+
+def test_tiny_param_count_materialises():
+    cfg = TINY
+    _, params, _ = _init(cfg)
+    n = count_params(params)
+    assert 1e5 < n < 1e7
+
+
+def test_rmsnorm_variant():
+    cfg = ModelConfig(**{**TINY.__dict__, "norm": "rms"})
+    model, params, (x, t, c) = _init(cfg)
+    out = model.apply({"params": params}, x, t, c)
+    assert out.shape == x.shape
+
+
+def test_sinusoidal_embedding_matches_reference_formula():
+    """Cross-check against a direct numpy transcription of
+    jat_audiosr_v2.py:177-190."""
+    dim, t = 64, np.array([0.0, 0.3, 1.0], dtype=np.float32)
+    half = dim // 2
+    emb_scale = np.log(10000.0) / (half - 1)
+    freqs = np.exp(np.arange(half) * -emb_scale)
+    args = t[:, None] * freqs[None, :]
+    want = np.concatenate([np.sin(args), np.cos(args)], axis=-1)
+    got = np.asarray(sinusoidal_time_embedding(jnp.asarray(t), dim))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_rope_tables_match_reference_formula():
+    """Cross-check against jat_audiosr_v2.py:60-68."""
+    dim, n = 16, 8
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2) / dim))
+    tt = np.arange(n)
+    freqs = np.outer(tt, inv_freq)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    cos, sin = rope_cos_sin(n, dim)
+    np.testing.assert_allclose(np.asarray(cos), np.cos(emb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin), np.sin(emb), atol=1e-6)
