@@ -1,0 +1,156 @@
+"""Latent Perceptual Loss stack, fp32 FFT islands (TPU/XLA).
+
+Re-implements the reference loss semantics on **time-major** ``[B, T, C]``
+latents (the reference is ``[B, C, T]``; formulas are layout-agnostic):
+
+- ``frequency_domain_loss``  — log-magnitude L1 over rFFT(time) plus a
+  complex-L1 phase constraint on the lowest 30% of bins
+  (ref train_ddp_v3mod2.py:53-123).
+- ``multi_scale_loss``       — L1 at average-pooled time scales {1,2,4}
+  (ref train_ddp_v3mod2.py:126-169).
+- ``consistency_loss``       — tri-band constraint against the LR input:
+  complex L1 below 0.30*Fs, linearly-decayed magnitude L1 in the
+  0.30–0.36*Fs transition band, free above (ref train_ddp_v3mod2.py:172-271).
+- ``charbonnier_loss``       — sqrt((p-t)^2 + eps) robust reconstruction
+  (ref train_ddp_v3mod3.py:57-101).
+
+All FFT losses force fp32: the reference does this for cuFFT's fp16
+power-of-2 restriction and for phase precision (train_ddp_v3mod2.py:87-92);
+on TPU the XLA FFT is fp32 anyway and bf16 inputs would destroy phase
+accuracy, so the same fp32 island is kept.  On TPU the rFFT along the time
+axis of a ``[B, T, C]`` array is a batched XLA custom-call over 1024 lanes —
+no Pallas needed; the surrounding elementwise math fuses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import LossConfig
+
+
+def charbonnier_loss(pred: jax.Array, target: jax.Array,
+                     eps: float = 1e-6) -> jax.Array:
+    """``mean(sqrt((pred-target)^2 + eps))`` (ref train_ddp_v3mod3.py:57)."""
+    d = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
+    return jnp.sqrt(d + eps).mean()
+
+
+def _rfft_time(x: jax.Array) -> jax.Array:
+    """fp32 rFFT along the time axis of [B, T, C] -> [B, F, C] complex."""
+    return jnp.fft.rfft(x.astype(jnp.float32), axis=1)
+
+
+def frequency_domain_loss(pred: jax.Array, target: jax.Array,
+                          low_freq_phase_ratio: float = 0.3) -> jax.Array:
+    """Log-magnitude L1 + 0.1x low-frequency complex L1
+    (ref train_ddp_v3mod2.py:79-123)."""
+    pf = _rfft_time(pred)
+    tf = _rfft_time(target)
+    eps = 1e-7
+    log_mag = jnp.abs(jnp.log(jnp.abs(pf) + eps) - jnp.log(jnp.abs(tf) + eps))
+    log_mag_loss = log_mag.mean()
+
+    nbins = pf.shape[1]
+    low = int(nbins * low_freq_phase_ratio)
+    phase_loss = jnp.abs(pf[:, :low, :] - tf[:, :low, :]).mean()
+    return 1.0 * log_mag_loss + 0.1 * phase_loss
+
+
+def _avg_pool_time(x: jax.Array, s: int) -> jax.Array:
+    """AvgPool1d(kernel=stride=s) over time; trailing remainder dropped
+    (torch floor semantics)."""
+    if s == 1:
+        return x
+    B, T, C = x.shape
+    n = T // s
+    return x[:, : n * s, :].reshape(B, n, s, C).mean(axis=2)
+
+
+def multi_scale_loss(pred: jax.Array, target: jax.Array,
+                     scales=(1, 2, 4)) -> jax.Array:
+    """Mean of L1 at each time scale (ref train_ddp_v3mod2.py:149-169)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    total = 0.0
+    for s in scales:
+        total = total + jnp.abs(_avg_pool_time(pred, s)
+                                - _avg_pool_time(target, s)).mean()
+    return total / len(scales)
+
+
+def consistency_loss(pred_hr: jax.Array, lr: jax.Array,
+                     strict_cutoff: float = 0.30,
+                     soft_cutoff: float = 0.36) -> jax.Array:
+    """Tri-band spectral consistency vs. the LR condition
+    (ref train_ddp_v3mod2.py:213-271).
+
+    Enforces Downsample(generated HR) ~= LR: below ``strict_cutoff*Fs`` the
+    complex spectrum must match (magnitude+phase); in the transition band up
+    to ``soft_cutoff*Fs`` (~16k/44.1k) only magnitude, weighted by a linear
+    1->0 decay mask; above, the model is free to hallucinate detail.
+    """
+    pf = _rfft_time(pred_hr)
+    lf = _rfft_time(lr)
+    nbins = pf.shape[1]
+    strict_bin = int(nbins * strict_cutoff)
+    soft_bin = int(nbins * soft_cutoff)
+
+    strict = jnp.abs(pf[:, :strict_bin, :] - lf[:, :strict_bin, :]).mean()
+
+    if soft_bin > strict_bin:
+        band = soft_bin - strict_bin
+        p_mag = jnp.abs(pf[:, strict_bin:soft_bin, :])
+        l_mag = jnp.abs(lf[:, strict_bin:soft_bin, :])
+        decay = jnp.linspace(1.0, 0.0, band, dtype=jnp.float32)[None, :, None]
+        transition = (jnp.abs(p_mag - l_mag) * decay).mean()
+    else:
+        transition = jnp.float32(0.0)
+    return 1.0 * strict + 1.0 * transition
+
+
+def latent_perceptual_loss(
+    pred: jax.Array, target: jax.Array, lr: jax.Array, cfg: LossConfig
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Combined freq + multi-scale + consistency
+    (ref train_ddp_v3mod2.py:274-321)."""
+    freq = frequency_domain_loss(pred, target, cfg.low_freq_phase_ratio)
+    ms = multi_scale_loss(pred, target, cfg.ms_scales)
+    cons = consistency_loss(pred, lr, cfg.strict_cutoff, cfg.soft_cutoff)
+    total = cfg.freq_weight * freq + cfg.ms_weight * ms \
+        + cfg.consistency_weight * cons
+    return total, {
+        "freq_loss": freq,
+        "ms_loss": ms,
+        "consistency_loss": cons,
+        "total_latent_loss": total,
+    }
+
+
+def reconstruction_loss(pred: jax.Array, target: jax.Array,
+                        cfg: LossConfig) -> jax.Array:
+    """MSE or Charbonnier main loss (ref train_ddp_v3mod2.py:889,
+    _v3mod3.py:667-672)."""
+    if cfg.reconstruction == "charbonnier":
+        return charbonnier_loss(pred, target, cfg.charbonnier_eps)
+    d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return (d * d).mean()
+
+
+def total_training_loss(
+    pred: jax.Array, target: jax.Array, lr: jax.Array, cfg: LossConfig
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """reconstruction + latent_loss_weight * latent_perceptual
+    (ref train_ddp_v3mod2.py:888-899)."""
+    recon = reconstruction_loss(pred, target, cfg)
+    metrics = {"recon_loss": recon}
+    loss = cfg.reconstruction_weight * recon
+    if cfg.use_latent_perceptual:
+        perc, pm = latent_perceptual_loss(pred, target, lr, cfg)
+        loss = loss + cfg.latent_loss_weight * perc
+        metrics.update(pm)
+    metrics["loss"] = loss
+    return loss, metrics

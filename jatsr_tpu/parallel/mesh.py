@@ -1,0 +1,100 @@
+"""Device mesh + sharding rules (the reference's NCCL/DDP layer, TPU-native).
+
+The reference parallelises with DDP over NCCL: per-GPU processes, bucketed
+gradient all-reduce, explicit ``all_reduce`` of validation scalars and
+``barrier()`` (train_ddp_v3mod2.py:426-447, 822, 1087-1096).  On TPU none of
+that is hand-written: we lay out a ``jax.sharding.Mesh`` with axes
+
+- ``data``  — batch (DDP equivalent; gradient reductions ride ICI via the
+  psums GSPMD inserts under ``jax.jit``),
+- ``model`` — tensor parallelism over attention heads / MLP hidden / AdaLN
+  modulation width (optional; the 766 M model fits one chip, but TP lowers
+  latency for serving).
+
+Parameters are annotated with ``NamedSharding``; XLA places the collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Create a (data, model) mesh.  ``data=-1`` uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+# Sharding rules for DiT parameters (paths are flax param tree paths with the
+# scanned ``blocks`` collection carrying a leading depth axis).  Order
+# matters: first match wins.
+_RULES = [
+    # Attention: shard the head (output) dim of Q/K/V, the input dim of the
+    # output projection.
+    (r"blocks/attn/(q_proj|k_proj|v_proj)/kernel", P(None, None, MODEL_AXIS)),
+    (r"blocks/attn/out_proj/kernel", P(None, MODEL_AXIS, None)),
+    # MLP: megatron-style column->row split.
+    (r"blocks/mlp_in/kernel", P(None, None, MODEL_AXIS)),
+    (r"blocks/mlp_in/bias", P(None, MODEL_AXIS)),
+    (r"blocks/mlp_out/kernel", P(None, MODEL_AXIS, None)),
+    # AdaLN modulation is 1/3 of all params (28 x H x 6H) — shard its width.
+    (r"blocks/adaln/kernel", P(None, None, MODEL_AXIS)),
+    (r"blocks/adaln/bias", P(None, MODEL_AXIS)),
+    # Everything else (patch embed, t-MLP, final) is replicated.
+]
+
+
+def _spec_for(path: str, ndim: int) -> P:
+    for pat, spec in _RULES:
+        if re.search(pat, path):
+            if len(spec) == ndim:
+                return spec
+            # Rule written for the scanned (stacked) layout; drop the leading
+            # depth axis for unstacked params.
+            if len(spec) == ndim + 1 and spec[0] is None:
+                return P(*spec[1:])
+    return P()  # replicated
+
+
+def param_shardings(mesh: Mesh, params):
+    """Map a DiT param pytree to NamedShardings per the TP rules."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(
+            getattr(k, "key", getattr(k, "idx", str(k))) for k in kp
+        )
+
+    specs = {}
+    for kp, leaf in flat:
+        specs[jax.tree_util.keystr(kp)] = NamedSharding(
+            mesh, _spec_for(path_str(kp), np.ndim(leaf))
+        )
+
+    def lookup(kp, leaf):
+        return specs[jax.tree_util.keystr(kp)]
+
+    return jax.tree_util.tree_map_with_path(lookup, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, T, C] batches shard over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
