@@ -1,0 +1,195 @@
+"""Latent dataset + batch loader (the reference's DataLoader path).
+
+Mirrors LatentDataset / ValidationDataset semantics
+(train_ddp_v3mod2.py:476-597): per-song fp16 latents memory-mapped, an
+epoch multiplier, loop-padding for short songs, random crops for training
+and deterministic spread crops for validation; fp16 -> fp32 conversion only
+after cropping.
+
+The reference needs 16 DataLoader worker processes per GPU; here cropping a
+[1378, 1024] fp16 view is a single mmap slice + cast, done either inline or
+on the background prefetch thread of ``BatchLoader`` (double-buffered so
+host work overlaps device steps).  A C++ loader (native/) can slot in for
+multi-stream deployments.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import threading
+import queue as queue_mod
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..configs import DataConfig
+
+
+def load_stats(path: str):
+    """Load normalization stats JSON -> (hr_mean, hr_std, lr_mean, lr_std)
+    float32 [C] (ref train_ddp_v3mod2.py:459-470)."""
+    with open(path) as f:
+        d = json.load(f)
+    return tuple(
+        np.asarray(d[k], np.float32)
+        for k in ("hr_mean", "hr_std", "lr_mean", "lr_std")
+    )
+
+
+class _LatentFiles:
+    def __init__(self, data_dir: str, split: str):
+        self.files = sorted(Path(data_dir, split).glob("*.hr.npy"))
+        if not self.files:
+            raise ValueError(f"no *.hr.npy under {data_dir}/{split}")
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, idx: int):
+        """mmap views (hr, lr) [T, C] fp16; views are cached (cheap)."""
+        if idx not in self._cache:
+            hr_path = self.files[idx]
+            hr = np.load(hr_path, mmap_mode="r")
+            lr = np.load(str(hr_path).replace(".hr.npy", ".lr.npy"),
+                         mmap_mode="r")
+            self._cache[idx] = (hr, lr)
+        return self._cache[idx]
+
+
+def _crop_or_loop(hr, lr, start: int, target: int):
+    length = hr.shape[0]
+    if length < target:
+        reps = math.ceil(target / length)
+        hr = np.tile(np.asarray(hr), (reps, 1))[:target]
+        lr = np.tile(np.asarray(lr), (reps, 1))[:target]
+    else:
+        hr = np.asarray(hr[start : start + target])
+        lr = np.asarray(lr[start : start + target])
+    return hr.astype(np.float32), lr.astype(np.float32)
+
+
+class LatentDataset:
+    """Training dataset: random crops, x`multiplier` samples per epoch."""
+
+    def __init__(self, data_dir: str, split: str = "train",
+                 target_frames: int = 1378, multiplier: int = 6,
+                 seed: int = 0):
+        self.store = _LatentFiles(data_dir, split)
+        self.target = target_frames
+        self.multiplier = multiplier
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.store) * self.multiplier
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        hr, lr = self.store.get(idx % len(self.store))
+        length = hr.shape[0]
+        start = (
+            self.rng.randint(0, length - self.target + 1)
+            if length > self.target
+            else 0
+        )
+        return _crop_or_loop(hr, lr, start, self.target)
+
+
+class ValidationDataset:
+    """Deterministic crops spread uniformly across each song
+    (ref train_ddp_v3mod2.py:561-597)."""
+
+    def __init__(self, data_dir: str, split: str = "val",
+                 target_frames: int = 1378, multiplier: int = 6):
+        self.store = _LatentFiles(data_dir, split)
+        self.target = target_frames
+        self.multiplier = multiplier
+
+    def __len__(self):
+        return len(self.store) * self.multiplier
+
+    def __getitem__(self, idx: int):
+        file_idx = idx % len(self.store)
+        sample_idx = idx // len(self.store)
+        hr, lr = self.store.get(file_idx)
+        length = hr.shape[0]
+        if length <= self.target:
+            start = 0
+        elif self.multiplier == 1:
+            start = (length - self.target) // 2
+        else:
+            seg = max(length - self.target, 1)
+            start = min(
+                int(seg * sample_idx / (self.multiplier - 1)),
+                length - self.target,
+            )
+        return _crop_or_loop(hr, lr, start, self.target)
+
+
+class BatchLoader:
+    """Batched iterator with optional background prefetch.
+
+    Yields (hr, lr) float32 [B, T, C].  ``shuffle`` permutes sample indices
+    per epoch (the DistributedSampler.set_epoch equivalent is
+    ``set_epoch``, which reseeds the permutation).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0, prefetch: int = 2):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def _indices(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _assemble(self, batch_idx) -> Tuple[np.ndarray, np.ndarray]:
+        samples = [self.ds[int(i)] for i in batch_idx]
+        hr = np.stack([s[0] for s in samples])
+        lr = np.stack([s[1] for s in samples])
+        return hr, lr
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self._indices()
+        batches = [
+            idx[i : i + self.bs] for i in range(0, len(idx), self.bs)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.bs]
+        if self.prefetch <= 0:
+            for b in batches:
+                yield self._assemble(b)
+            return
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(self._assemble(b))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

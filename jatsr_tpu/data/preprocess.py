@@ -1,0 +1,328 @@
+"""Offline preprocessing: audio -> per-song fp16 DAC latents + global stats.
+
+TPU-native re-design of prepare_dataset_v5.py (the reference's "V13 final"):
+
+per song (prepare_dataset_v5.py:97-277):
+  load WAV -> mono -> peak-normalise if peak > 1
+  chunk into 7 s valid + 0.5 s context each side (8 s windows, edge-padded)
+  resample to 48 kHz, simulate LR by 48k -> 16k -> 48k
+  resample both to 44.1 kHz and DAC-encode (batched on the accelerator)
+  trim the context frames, concatenate, clamp to the expected frame count
+  save fp16 per-song latents; accumulate float64 per-channel stats
+
+Differences from the reference, by design:
+- Chunks of one song are encoded as **one batched jitted call** (fixed 8 s
+  window ⇒ static shapes) instead of a Python loop with BATCH=1.
+- Storage is ``.npy`` pairs (``<song>.hr.npy`` / ``<song>.lr.npy``,
+  fp16, time-major [T, 1024]) + a ``.meta.json`` — mmap-able by numpy and
+  the native loader.
+- Separated HR/LR stats are accumulated in the same pass (the reference
+  needs a second pass, recalculate_stats.py) — both stats files are emitted.
+
+Crash tolerance mirrors the reference: an append-only
+``processed_files.jsonl`` (done/skipped/error), ``running_stats.npz``
+persisted every ``stats_interval`` songs, per-file exception catch
+(prepare_dataset_v5.py:74-93, 309-381).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import traceback
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DataConfig
+from ..models.dac import DAC
+from ..ops import resample, simulate_lr
+from ..utils.audio_io import SUPPORTED_EXTENSIONS, load_wav
+
+
+def scan_and_split(source_dirs: Sequence[str], val_ratio: float,
+                   seed: int) -> Tuple[List[str], List[str]]:
+    """Recursive scan + seeded shuffle + train/val split
+    (prepare_dataset_v5.py:293-307)."""
+    files: List[str] = []
+    for d in source_dirs:
+        p = Path(d)
+        if p.exists():
+            files.extend(
+                str(f) for f in sorted(p.rglob("*"))
+                if f.suffix.lower() in SUPPORTED_EXTENSIONS
+            )
+    rng = np.random.RandomState(seed)
+    files = list(files)
+    rng.shuffle(files)
+    split = int(len(files) * (1 - val_ratio))
+    return files[:split], files[split:]
+
+
+class StatsAccumulator:
+    """Per-channel float64 running stats, combined and separated HR/LR."""
+
+    def __init__(self, channels: int = 1024):
+        self.c = channels
+        self.hr_sum = np.zeros(channels, np.float64)
+        self.hr_sq = np.zeros(channels, np.float64)
+        self.hr_n = 0
+        self.lr_sum = np.zeros(channels, np.float64)
+        self.lr_sq = np.zeros(channels, np.float64)
+        self.lr_n = 0
+
+    def update(self, hr: np.ndarray, lr: np.ndarray):
+        """hr/lr: [T, C] latents of one song."""
+        hr64, lr64 = hr.astype(np.float64), lr.astype(np.float64)
+        self.hr_sum += hr64.sum(0)
+        self.hr_sq += (hr64**2).sum(0)
+        self.hr_n += hr.shape[0]
+        self.lr_sum += lr64.sum(0)
+        self.lr_sq += (lr64**2).sum(0)
+        self.lr_n += lr.shape[0]
+
+    def save(self, path: Path):
+        np.savez(
+            path,
+            hr_sum=self.hr_sum, hr_sq=self.hr_sq, hr_n=self.hr_n,
+            lr_sum=self.lr_sum, lr_sq=self.lr_sq, lr_n=self.lr_n,
+        )
+
+    @classmethod
+    def load(cls, path: Path, channels: int = 1024) -> "StatsAccumulator":
+        acc = cls(channels)
+        z = np.load(path)
+        acc.hr_sum, acc.hr_sq, acc.hr_n = z["hr_sum"], z["hr_sq"], int(z["hr_n"])
+        acc.lr_sum, acc.lr_sq, acc.lr_n = z["lr_sum"], z["lr_sq"], int(z["lr_n"])
+        return acc
+
+    @staticmethod
+    def _finalize(s, sq, n):
+        mean = s / max(n, 1)
+        var = sq / max(n, 1) - mean**2
+        std = np.sqrt(np.clip(var, 1e-6, None))
+        return mean, std
+
+    def combined_stats(self) -> Dict:
+        """Pooled HR+LR stats (prepare_dataset_v5.py:383-398 uses one pool
+        for both)."""
+        mean, std = self._finalize(
+            self.hr_sum + self.lr_sum, self.hr_sq + self.lr_sq,
+            self.hr_n + self.lr_n,
+        )
+        return {
+            "hr_mean": mean.astype(np.float32).tolist(),
+            "hr_std": std.astype(np.float32).tolist(),
+            "lr_mean": mean.astype(np.float32).tolist(),
+            "lr_std": std.astype(np.float32).tolist(),
+            "total_frames": int(self.hr_n + self.lr_n),
+        }
+
+    def separated_stats(self) -> Dict:
+        """Separated HR vs LR stats — what training actually consumes
+        (recalculate_stats.py, train_ddp_v3mod2.py:334)."""
+        hm, hs = self._finalize(self.hr_sum, self.hr_sq, self.hr_n)
+        lm, ls = self._finalize(self.lr_sum, self.lr_sq, self.lr_n)
+        return {
+            "hr_mean": hm.astype(np.float32).tolist(),
+            "hr_std": hs.astype(np.float32).tolist(),
+            "lr_mean": lm.astype(np.float32).tolist(),
+            "lr_std": ls.astype(np.float32).tolist(),
+            "total_frames": int(self.hr_n),
+        }
+
+
+class PreprocessPipeline:
+    """Batched, resumable audio -> latent preprocessing."""
+
+    def __init__(self, codec: DAC, cfg: Optional[DataConfig] = None,
+                 output_dir: str = "data_processed"):
+        self.codec = codec
+        self.cfg = cfg or DataConfig()
+        self.out = Path(output_dir)
+        (self.out / "train").mkdir(parents=True, exist_ok=True)
+        (self.out / "val").mkdir(parents=True, exist_ok=True)
+        self.log_file = self.out / "processed_files.jsonl"
+        self.stats_file = self.out / "running_stats.npz"
+        self.acc = (
+            StatsAccumulator.load(self.stats_file, codec.cfg.latent_dim)
+            if self.stats_file.exists()
+            else StatsAccumulator(codec.cfg.latent_dim)
+        )
+        c = self.cfg
+        self._win_samples = int(
+            (c.chunk_duration + 2 * c.overlap_duration) * c.high_sr
+        )
+        self._valid_samples = int(c.chunk_duration * c.high_sr)
+        self._overlap_samples = int(c.overlap_duration * c.high_sr)
+
+        # One jitted program: 48k window -> (HR, LR) 44.1k -> DAC encode both.
+        def encode_windows(params, wins):  # wins: [N, W, 1] @ high_sr
+            lr48 = simulate_lr(wins, c.high_sr, c.low_sr)
+            hr = resample(wins, c.high_sr, c.dac_sample_rate)
+            lr = resample(lr48, c.high_sr, c.dac_sample_rate)
+            pad = (-hr.shape[1]) % codec.cfg.hop_length
+            if pad:
+                hr = jnp.pad(hr, ((0, 0), (0, pad), (0, 0)))
+                lr = jnp.pad(lr, ((0, 0), (0, pad), (0, 0)))
+            from ..models.dac.model import encoder_forward, quantize
+
+            z_hr, _ = quantize(params, encoder_forward(params, hr, codec.cfg),
+                               codec.cfg)
+            z_lr, _ = quantize(params, encoder_forward(params, lr, codec.cfg),
+                               codec.cfg)
+            return z_hr, z_lr
+
+        self._encode_windows = jax.jit(encode_windows)
+
+    # -- resume log ---------------------------------------------------------
+
+    def _log(self, entry: Dict):
+        with open(self.log_file, "a") as f:
+            f.write(json.dumps(entry, ensure_ascii=False) + "\n")
+
+    def processed_set(self) -> set:
+        done = set()
+        if self.log_file.exists():
+            for line in self.log_file.read_text().splitlines():
+                try:
+                    d = json.loads(line)
+                    if d.get("status") == "done":
+                        done.add(d["path"])
+                except Exception:
+                    pass
+        return done
+
+    # -- per-song processing ------------------------------------------------
+
+    def _window_song(self, audio48: np.ndarray) -> np.ndarray:
+        """Slice one 48 kHz mono song into overlapping 8 s windows
+        (7 s valid + 0.5 s context each side), edge windows zero-padded
+        (prepare_dataset_v5.py:142-169)."""
+        total = len(audio48)
+        n_chunks = math.ceil(total / self._valid_samples)
+        wins = np.zeros((n_chunks, self._win_samples), np.float32)
+        for i in range(n_chunks):
+            start = i * self._valid_samples - self._overlap_samples
+            end = start + self._win_samples
+            s, e = max(start, 0), min(end, total)
+            wins[i, s - start : (s - start) + (e - s)] = audio48[s:e]
+        return wins
+
+    def process_song(self, path: str) -> Tuple[np.ndarray, np.ndarray, Dict]:
+        """Returns (hr [T,C] fp16, lr [T,C] fp16, metadata)."""
+        c = self.cfg
+        audio, sr = load_wav(path, mono=True)
+        peak = np.abs(audio).max() if audio.size else 0.0
+        if peak > 1.0:
+            audio = audio / peak
+        duration = len(audio) / sr
+        if duration < c.min_duration:
+            raise ValueError("too_short")
+
+        if sr != c.high_sr:
+            audio = np.asarray(
+                resample(jnp.asarray(audio[None, :]), sr, c.high_sr)
+            )[0]
+        wins = self._window_song(audio)[..., None]  # [N, W, 1]
+
+        z_hr, z_lr = self._encode_windows(self.codec.params,
+                                          jnp.asarray(wins))
+        z_hr, z_lr = np.asarray(z_hr), np.asarray(z_lr)  # [N, F, C]
+
+        # Trim context frames, measured the way the reference measures it
+        # (hop inferred from actual encode, prepare_dataset_v5.py:222-235).
+        hop48 = self._win_samples / z_hr.shape[1]
+        trim = int(self._overlap_samples / hop48)
+        valid = int(self._valid_samples / hop48)
+        z_hr = z_hr[:, trim : trim + valid, :]
+        z_lr = z_lr[:, trim : trim + valid, :]
+
+        full_hr = z_hr.reshape(-1, z_hr.shape[-1])
+        full_lr = z_lr.reshape(-1, z_lr.shape[-1])
+        expected = int(len(audio) / hop48)
+        full_hr, full_lr = full_hr[:expected], full_lr[:expected]
+
+        meta = {
+            "name": Path(path).stem,
+            "path": path,
+            "duration": duration,
+            "sr": sr,
+            "frames": int(full_hr.shape[0]),
+        }
+        return full_hr.astype(np.float16), full_lr.astype(np.float16), meta
+
+    def _save_song(self, split: str, hr, lr, meta):
+        base = self.out / split / meta["name"]
+        np.save(str(base) + ".hr.npy", hr)
+        np.save(str(base) + ".lr.npy", lr)
+        (Path(str(base) + ".meta.json")).write_text(json.dumps(meta))
+
+    # -- driver -------------------------------------------------------------
+
+    def run(self, source_dirs: Sequence[str], stats_interval: int = 50,
+            verbose: bool = True) -> Dict:
+        c = self.cfg
+        train_files, val_files = scan_and_split(
+            source_dirs, c.val_ratio, c.split_seed
+        )
+        tasks = [(f, "train") for f in train_files] + [
+            (f, "val") for f in val_files
+        ]
+        done = self.processed_set()
+        todo = [t for t in tasks if t[0] not in done]
+        counts = {"done": 0, "skipped": 0, "error": 0}
+        for i, (path, split) in enumerate(todo):
+            try:
+                hr, lr, meta = self.process_song(path)
+                self._save_song(split, hr, lr, meta)
+                self.acc.update(hr, lr)
+                self._log({"path": path, "status": "done", "split": split})
+                counts["done"] += 1
+            except ValueError as e:
+                self._log({"path": path, "status": "skipped", "reason": str(e)})
+                counts["skipped"] += 1
+            except Exception as e:  # keep going on bad files (OOM etc.)
+                self._log({"path": path, "status": "error", "msg": str(e)})
+                counts["error"] += 1
+                if verbose:
+                    traceback.print_exc()
+            if (i + 1) % stats_interval == 0:
+                self.acc.save(self.stats_file)
+            if verbose and (i + 1) % 10 == 0:
+                print(f"[preprocess] {i + 1}/{len(todo)}")
+        self.acc.save(self.stats_file)
+        self.finalize_stats()
+        return counts
+
+    def finalize_stats(self):
+        (self.out / "global_stats.json").write_text(
+            json.dumps(self.acc.combined_stats(), indent=2)
+        )
+        (self.out / "global_stats_separated.json").write_text(
+            json.dumps(self.acc.separated_stats(), indent=2)
+        )
+
+
+def compute_separated_stats(data_dir: str, splits=("train",)) -> Dict:
+    """Second-pass separated stats over saved latents — parity with
+    recalculate_stats.py for datasets produced elsewhere."""
+    acc = None
+    for split in splits:
+        for hr_path in sorted(Path(data_dir, split).glob("*.hr.npy")):
+            hr = np.load(hr_path, mmap_mode="r")
+            lr = np.load(str(hr_path).replace(".hr.npy", ".lr.npy"),
+                         mmap_mode="r")
+            if acc is None:
+                acc = StatsAccumulator(hr.shape[-1])
+            acc.update(np.asarray(hr), np.asarray(lr))
+    if acc is None:
+        raise ValueError(f"no latents found under {data_dir}")
+    stats = acc.separated_stats()
+    Path(data_dir, "global_stats_separated.json").write_text(
+        json.dumps(stats, indent=2)
+    )
+    return stats

@@ -1,0 +1,137 @@
+"""End-to-end data pipeline tests: WAV -> chunk -> LR-sim -> encode ->
+fp16 latents + stats + resume log (ref prepare_dataset_v5.py), and the
+dataset/loader crop semantics (ref train_ddp_v3mod2.py:476-597)."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from jatsr_tpu.configs import DataConfig
+from jatsr_tpu.data import (
+    BatchLoader,
+    LatentDataset,
+    PreprocessPipeline,
+    ValidationDataset,
+    compute_separated_stats,
+    load_stats,
+)
+from jatsr_tpu.models.dac import DAC, DACConfig
+from jatsr_tpu.utils import load_wav, save_wav
+
+CODEC_CFG = DACConfig(
+    encoder_dim=8, encoder_rates=(2, 4), decoder_dim=16, decoder_rates=(4, 2),
+    n_codebooks=2, codebook_size=16, codebook_dim=4,
+)
+DATA_CFG = DataConfig(
+    high_sr=8000, low_sr=4000, dac_sample_rate=8000,
+    chunk_duration=0.5, overlap_duration=0.1, min_duration=0.2,
+    val_ratio=0.5,
+)
+
+
+def _make_wavs(d: Path, n=4, sr=8000):
+    d.mkdir(parents=True, exist_ok=True)
+    rs = np.random.RandomState(0)
+    for i in range(n):
+        secs = 0.8 + 0.4 * i
+        t = np.arange(int(sr * secs)) / sr
+        audio = 0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t)
+        audio += 0.05 * rs.randn(len(t))
+        save_wav(d / f"song_{i}.wav", audio.astype(np.float32), sr)
+    # one too-short file that must be skipped
+    save_wav(d / "short.wav", np.zeros(800, np.float32), sr)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(tmp_path_factory):
+    src = tmp_path_factory.mktemp("src")
+    out = tmp_path_factory.mktemp("out")
+    _make_wavs(src)
+    codec = DAC.random_init(0, CODEC_CFG)
+    pipe = PreprocessPipeline(codec, DATA_CFG, str(out))
+    counts = pipe.run([str(src)], verbose=False)
+    return out, counts, codec
+
+
+def test_pipeline_counts_and_outputs(pipeline_out):
+    out, counts, _ = pipeline_out
+    assert counts["done"] == 4
+    assert counts["skipped"] == 1
+    n_train = len(list((out / "train").glob("*.hr.npy")))
+    n_val = len(list((out / "val").glob("*.hr.npy")))
+    assert n_train + n_val == 4 and n_val >= 1
+    assert (out / "global_stats.json").exists()
+    assert (out / "global_stats_separated.json").exists()
+
+
+def test_latents_are_fp16_time_major(pipeline_out):
+    out, _, codec = pipeline_out
+    f = next((out / "train").glob("*.hr.npy"))
+    hr = np.load(f)
+    assert hr.dtype == np.float16
+    assert hr.shape[1] == codec.cfg.latent_dim
+    meta = json.loads(Path(str(f).replace(".hr.npy", ".meta.json")).read_text())
+    assert meta["frames"] == hr.shape[0]
+    # frame count ~ duration * sr / hop
+    expect = meta["duration"] * DATA_CFG.high_sr / codec.cfg.hop_length
+    assert abs(hr.shape[0] - expect) <= 2
+
+
+def test_resume_skips_done(pipeline_out):
+    out, _, codec = pipeline_out
+    pipe = PreprocessPipeline(DAC.random_init(0, CODEC_CFG), DATA_CFG, str(out))
+    assert len(pipe.processed_set()) == 4
+
+
+def test_stats_sane(pipeline_out):
+    out, _, _ = pipeline_out
+    hm, hs, lm, ls = load_stats(str(out / "global_stats_separated.json"))
+    assert hm.shape == (CODEC_CFG.latent_dim,)
+    assert np.all(hs > 0) and np.all(ls > 0)
+    # second-pass recompute must agree with the single-pass accumulation
+    # over the train split subset of what it saw
+    stats2 = compute_separated_stats(str(out), splits=("train", "val"))
+    np.testing.assert_allclose(np.asarray(stats2["hr_mean"]), hm, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(stats2["hr_std"]), hs, atol=1e-4)
+
+
+def test_dataset_crops(pipeline_out):
+    out, _, _ = pipeline_out
+    target = 40
+    ds = LatentDataset(str(out), "train", target_frames=target, multiplier=3)
+    assert len(ds) == 3 * len(ds.store)
+    hr, lr = ds[0]
+    assert hr.shape == (target, CODEC_CFG.latent_dim)
+    assert hr.dtype == np.float32
+
+    # loop-padding: ask for more frames than any song has
+    big = LatentDataset(str(out), "train", target_frames=5000, multiplier=1)
+    hr2, _ = big[0]
+    assert hr2.shape[0] == 5000
+
+
+def test_validation_deterministic(pipeline_out):
+    out, _, _ = pipeline_out
+    ds = ValidationDataset(str(out), "val", target_frames=30, multiplier=3)
+    a1, _ = ds[1]
+    a2, _ = ds[1]
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_batch_loader(pipeline_out):
+    out, _, _ = pipeline_out
+    ds = LatentDataset(str(out), "train", target_frames=32, multiplier=4)
+    loader = BatchLoader(ds, batch_size=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    hr, lr = batches[0]
+    assert hr.shape == (2, 32, CODEC_CFG.latent_dim)
+    # epoch reshuffle changes order
+    loader.set_epoch(1)
+    batches2 = list(loader)
+    assert not all(
+        np.array_equal(a[0], b[0]) for a, b in zip(batches, batches2)
+    )
