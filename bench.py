@@ -1,0 +1,96 @@
+"""Benchmark: audio-seconds generated per second per chip.
+
+North-star metric (BASELINE.json): throughput of the full 766 M-param DiT
+flow-matching sampler at 50 steps with CFG — i.e. 100 model invocations per
+16 s audio chunk — on one chip.  All chunks are batched through one jitted
+ODE program (the reference loops chunks serially, infer_test_v3m2.py:370).
+
+``vs_baseline`` is measured against an estimated A100 real-time factor for
+the reference implementation: 766 M fp16 DiT, batch-1 CFG sampling, naive
+attention — ~529 GFLOP/forward x 100 per chunk at ~25% batch-1 MFU of
+312 TFLOPS => ~0.68 s per 16 s chunk => RTF ~23.  The driver's target is
+>=5x this baseline (vs_baseline >= 5.0).
+
+Usage: python bench.py [--quick] [--batch N] [--steps N] [--seconds-per-chunk S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+A100_BASELINE_RTF = 23.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny model + few steps (smoke test, CPU-safe)")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="chunks sampled per sampler call")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-scale", type=float, default=3.0)
+    ap.add_argument("--seconds-per-chunk", type=float, default=16.0)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatsr_tpu.configs import SamplerConfig, get_preset
+    from jatsr_tpu.models import DiT, count_params
+    from jatsr_tpu.sampling import FlowSampler
+
+    preset = get_preset("tiny" if args.quick else "v3")
+    mcfg = dataclasses.replace(
+        preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0
+    )
+    model = DiT(mcfg)
+
+    T = int(args.seconds_per_chunk * 44100 / 512)  # 1378
+    B, C = args.batch, mcfg.input_channels
+    if args.quick:
+        B, T = 2, 128
+        args.steps = min(args.steps, 8)
+
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (B, T, C), jnp.float32)
+    params = model.init(
+        {"params": key, "dropout": key},
+        cond, jnp.zeros((B,), jnp.float32), cond,
+    )["params"]
+    n_params = count_params(params)
+
+    sampler = FlowSampler(
+        lambda z, t, c: model.apply({"params": params}, z, t, c),
+        SamplerConfig(num_steps=args.steps, cfg_scale=args.cfg_scale),
+    )
+
+    def run(i):
+        out = sampler(jax.random.PRNGKey(i), cond,
+                      num_steps=args.steps, cfg_scale=args.cfg_scale)
+        jax.block_until_ready(out)
+        return out
+
+    run(0)  # compile + warmup
+    best = float("inf")
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        run(i + 1)
+        best = min(best, time.perf_counter() - t0)
+
+    audio_sec = B * args.seconds_per_chunk if not args.quick else B * T * 512 / 44100
+    value = audio_sec / best
+    print(json.dumps({
+        "metric": "audio_sec_generated_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": f"audio-sec/s/chip ({n_params/1e6:.0f}M DiT, "
+                f"{args.steps}-step CFG {args.cfg_scale})",
+        "vs_baseline": round(value / A100_BASELINE_RTF, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

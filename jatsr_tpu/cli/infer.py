@@ -1,0 +1,119 @@
+"""CLI: chunked long-audio inference (the reference's infer_test_v3m2.py).
+
+Usage:
+    python -m jatsr_tpu.cli.infer --run-dir checkpoints/v3mod2/<ts> \
+        --preset v3mod2 --stats data_processed/global_stats_separated.json \
+        --input song.wav|song.hr.npy --output-dir out \
+        [--steps 50] [--cfg-scale 3.0] [--dac-weights weights.pth]
+
+Accepts either a WAV (encoded to an LR latent through the codec) or a saved
+``.npy`` latent.  Emits ``<name>_generated[_cfgX].wav`` plus, when ground
+truth is available, ``_hr_gt.wav`` and ``_lr_input.wav`` — matching the
+reference's outputs (infer_test_v3m2.py:424-442).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--checkpoint", default="best",
+                    help="checkpoint name inside run dir (best/last/...)")
+    ap.add_argument("--preset", default="v3mod2")
+    ap.add_argument("--stats", required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output-dir", default="inference_output")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-scale", type=float, default=1.0)
+    ap.add_argument("--dac-weights", default=None)
+    ap.add_argument("--total-seconds", type=float, default=None)
+    ap.add_argument("--platform", default=None,
+                help="force jax platform (cpu/tpu)")
+    args = ap.parse_args(argv)
+
+    from ..utils.runtime import select_platform
+
+    select_platform(args.platform)
+
+    import jax
+    import numpy as np
+
+    from ..configs import get_preset
+    from ..data import load_stats
+    from ..infer import InferencePipeline
+    from ..models import DiT
+    from ..models.dac import DAC
+    from ..train import create_train_state
+    from ..train.checkpoint import CheckpointManager
+    from ..train.step import Normalizer
+    from ..utils import load_wav, save_wav
+
+    preset = get_preset(args.preset)
+    model = DiT(preset.model)
+    C = preset.model.input_channels
+
+    # Rebuild a state skeleton and restore weights.
+    import jax.numpy as jnp
+
+    dummy = jnp.zeros((1, 8, C), jnp.float32)
+    state = create_train_state(model, preset.train, 1, (dummy, dummy))
+    state, meta = CheckpointManager(args.run_dir).restore(
+        args.checkpoint, state
+    )
+    print(f"[infer] restored {args.checkpoint} @ step {meta['global_step']}")
+
+    if args.dac_weights:
+        from ..models.dac.convert import load_torch_checkpoint
+
+        codec = DAC(load_torch_checkpoint(args.dac_weights))
+    else:
+        print("[warn] no --dac-weights: RANDOM codec (testing only)")
+        codec = DAC.random_init(0)
+
+    norm = Normalizer(*load_stats(args.stats))
+    import dataclasses
+
+    scfg = dataclasses.replace(
+        preset.sampler, num_steps=args.steps, cfg_scale=args.cfg_scale
+    )
+    pipe = InferencePipeline(model, state.params, norm, codec, scfg)
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    inp = Path(args.input)
+    cfg_suffix = f"_cfg{args.cfg_scale:.1f}" if args.cfg_scale != 1.0 else ""
+
+    if inp.suffix == ".npy":
+        lr_latent = np.load(inp).astype(np.float32)
+        if args.total_seconds:
+            frames = int(args.total_seconds * 44100 / 512)
+            lr_latent = lr_latent[:frames]
+        gen = pipe.super_resolve_latent(
+            lr_latent, jax.random.PRNGKey(0), args.steps, args.cfg_scale
+        )
+        save_wav(out / f"{inp.stem}_generated{cfg_suffix}.wav",
+                 pipe.decode_latent(gen), 44100)
+        save_wav(out / f"{inp.stem}_lr_input.wav",
+                 pipe.decode_latent(lr_latent), 44100)
+        hr_path = Path(str(inp).replace(".lr.npy", ".hr.npy"))
+        if hr_path != inp and hr_path.exists():
+            hr = np.load(hr_path).astype(np.float32)[: len(lr_latent)]
+            save_wav(out / f"{inp.stem}_hr_gt.wav",
+                     pipe.decode_latent(hr), 44100)
+    else:
+        audio, sr = load_wav(inp, mono=True)
+        if args.total_seconds:
+            audio = audio[: int(args.total_seconds * sr)]
+        wav = pipe.super_resolve_audio(
+            audio, sr, jax.random.PRNGKey(0), args.steps, args.cfg_scale
+        )
+        save_wav(out / f"{inp.stem}_generated{cfg_suffix}.wav", wav, 44100)
+    print(f"[infer] wrote results to {out}/")
+
+
+if __name__ == "__main__":
+    main()

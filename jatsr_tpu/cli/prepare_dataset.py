@@ -1,0 +1,63 @@
+"""CLI: offline preprocessing (the reference's prepare_dataset_v5.py).
+
+Usage:
+    python -m jatsr_tpu.cli.prepare_dataset --source-dirs DIR [DIR...] \
+        --output-dir data_processed [--dac-weights weights.pth]
+
+Scans WAVs, splits 90/10 with seed 42, chunks 7 s (+0.5 s context),
+simulates 16 kHz LR, DAC-encodes on the accelerator, writes fp16 latents +
+global stats, and resumes from processed_files.jsonl on re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source-dirs", nargs="+", required=True)
+    ap.add_argument("--output-dir", default="data_processed")
+    ap.add_argument("--dac-weights", default=None,
+                    help="Path to a torch DAC 44 kHz checkpoint (.pth); "
+                         "random weights (testing only) if omitted")
+    ap.add_argument("--val-ratio", type=float, default=0.1)
+    ap.add_argument("--chunk-duration", type=float, default=7.0)
+    ap.add_argument("--overlap-duration", type=float, default=0.5)
+    ap.add_argument("--platform", default=None,
+                help="force jax platform (cpu/tpu)")
+    args = ap.parse_args(argv)
+
+    from ..utils.runtime import select_platform
+
+    select_platform(args.platform)
+
+    import dataclasses
+
+    from ..configs import DataConfig
+    from ..data import PreprocessPipeline
+    from ..models.dac import DAC, DACConfig, convert_torch_state_dict
+
+    if args.dac_weights:
+        from ..models.dac.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.dac_weights)
+        codec = DAC(params)
+    else:
+        print("[warn] no --dac-weights given: using RANDOM codec weights "
+              "(shape-correct, for pipeline testing only)")
+        codec = DAC.random_init(0)
+
+    cfg = dataclasses.replace(
+        DataConfig(),
+        val_ratio=args.val_ratio,
+        chunk_duration=args.chunk_duration,
+        overlap_duration=args.overlap_duration,
+    )
+    pipe = PreprocessPipeline(codec, cfg, args.output_dir)
+    counts = pipe.run(args.source_dirs)
+    print(f"[prepare_dataset] {counts}")
+
+
+if __name__ == "__main__":
+    main()

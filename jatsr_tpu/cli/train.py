@@ -1,0 +1,63 @@
+"""CLI: training (the reference's train_ddp_*.py family as one command).
+
+Usage:
+    python -m jatsr_tpu.cli.train --preset v3mod2 --data-dir data_processed \
+        [--resume [auto|RUN_DIR]] [--mesh DATA MODEL] [--epochs N] \
+        [--max-steps N]
+
+Each reference script maps to ``--preset``:
+    train_ddp_v1.py -> v1        train_ddp_v3m2.py   -> v3m2
+    train_ddp_v2.py -> v2        train_ddp_v3mod2.py -> v3mod2
+    train_ddp_v3.py -> v3        train_ddp_v3mod3.py -> v3mod3
+Instead of ``torchrun --nproc_per_node=N``, pass ``--mesh N 1`` (data
+parallel) or ``--mesh N M`` (+ tensor parallel) — the step is one SPMD
+program over the device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--preset", default="v3mod2")
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--resume", nargs="?", const="auto", default=None)
+    ap.add_argument("--mesh", nargs=2, type=int, default=None,
+                    metavar=("DATA", "MODEL"))
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--max-steps", type=int, default=0)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                help="force jax platform (cpu/tpu)")
+    args = ap.parse_args(argv)
+
+    from ..utils.runtime import select_platform
+
+    select_platform(args.platform)
+
+    import dataclasses
+
+    from ..configs import get_preset
+    from ..parallel import make_mesh
+    from ..train.loop import Trainer
+
+    preset = get_preset(args.preset)
+    if args.batch_size:
+        preset = dataclasses.replace(
+            preset,
+            train=dataclasses.replace(preset.train,
+                                      batch_size=args.batch_size),
+        )
+    mesh = make_mesh(*args.mesh) if args.mesh else None
+    trainer = Trainer(preset, data_dir=args.data_dir, resume=args.resume,
+                      mesh=mesh)
+    print(f"[train] preset={preset.name} params={trainer.n_params/1e6:.1f}M "
+          f"steps/epoch={len(trainer.train_loader)} mesh={args.mesh}")
+    best = trainer.fit(num_epochs=args.epochs, max_steps=args.max_steps)
+    print(f"[train] done; best val loss {best:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@ from .config import (
     DataConfig,
     LossConfig,
     ModelConfig,
+    Preset,
     SamplerConfig,
     TrainConfig,
     get_preset,
@@ -14,6 +15,7 @@ __all__ = [
     "TrainConfig",
     "DataConfig",
     "SamplerConfig",
+    "Preset",
     "get_preset",
     "list_presets",
 ]

@@ -1,0 +1,218 @@
+"""Training loop: epochs, validation, TensorBoard, checkpoints, auto-resume.
+
+The runtime around the jitted train step — everything
+train_ddp_v3mod2.py:603-1019 does per process, as one Trainer:
+
+- epoch loop with per-epoch loader reshuffle (``set_epoch`` replaces
+  ``DistributedSampler.set_epoch``, :832),
+- TB scalars every ``log_interval_steps`` (Train/Loss, LR, GradNorm, SNR_dB,
+  prediction stats, per-term latent losses; :945-963),
+- ``interval_<step>`` checkpoints every ``save_interval_steps``, ``last``
+  per epoch, ``best`` on val improvement (:965-1016),
+- validation per epoch (mean + std of batch losses; the cross-device SUM
+  all-reduce of the reference, :1087-1096, is implicit — metrics come out
+  of the SPMD program already reduced).
+
+Sharding: pass a mesh and the trainer places params per the TP rules and
+shards batches over ``data``; without one it runs single-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import Preset
+from ..data import BatchLoader, LatentDataset, ValidationDataset, load_stats
+from ..models import DiT, count_params
+from ..parallel import batch_sharding, make_mesh, param_shardings, replicated
+from .checkpoint import CheckpointManager, find_latest_run, timestamp_run_name
+from .state import create_train_state
+from .step import Normalizer, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        preset: Preset,
+        data_dir: Optional[str] = None,
+        resume: Optional[str] = None,  # None | "auto" | run-dir path
+        mesh=None,
+        run_name: Optional[str] = None,
+        writer=None,
+    ):
+        self.preset = preset
+        mcfg, tcfg, dcfg = preset.model, preset.train, preset.data
+        data_dir = data_dir or dcfg.data_dir
+
+        # Data.
+        target = dcfg.target_frames
+        self.train_loader = BatchLoader(
+            LatentDataset(data_dir, "train", target,
+                          dcfg.samples_per_epoch_multiplier, seed=tcfg.seed),
+            tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+        )
+        self.val_loader = BatchLoader(
+            ValidationDataset(data_dir, "val", target,
+                              dcfg.samples_per_epoch_multiplier),
+            tcfg.batch_size, shuffle=False,
+        )
+        stats_path = Path(data_dir) / dcfg.stats_file
+        self.normalizer = Normalizer(*load_stats(str(stats_path)))
+
+        # Model + state.
+        self.model = DiT(mcfg)
+        hr0, lr0 = next(iter(
+            BatchLoader(self.train_loader.ds, tcfg.batch_size, shuffle=False,
+                        prefetch=0)
+        ))
+        total_steps = len(self.train_loader) * tcfg.num_epochs
+        self.total_steps = total_steps
+        self.state = create_train_state(
+            self.model, tcfg, total_steps, (jnp.asarray(hr0), jnp.asarray(lr0))
+        )
+        self.n_params = count_params(self.state.params)
+
+        # Placement.
+        self.mesh = mesh
+        if mesh is not None:
+            rep = replicated(mesh)
+            self.state = self.state.replace(
+                params=jax.device_put(
+                    self.state.params, param_shardings(mesh, self.state.params)
+                ),
+                opt_state=jax.device_put(
+                    self.state.opt_state,
+                    jax.tree_util.tree_map(
+                        lambda _: rep, self.state.opt_state,
+                        is_leaf=lambda x: isinstance(x, jax.Array),
+                    ),
+                ),
+                step=jax.device_put(self.state.step, rep),
+                rng=jax.device_put(self.state.rng, rep),
+            )
+            self._batch_sharding = batch_sharding(mesh)
+        else:
+            self._batch_sharding = None
+
+        self.train_step = jax.jit(
+            make_train_step(preset.loss, tcfg, self.normalizer),
+            donate_argnums=(0,),
+        )
+        self.eval_step = jax.jit(make_eval_step(preset.loss, self.normalizer))
+
+        # Run dir / resume (ref train_ddp_v3mod2.py:616-660).
+        base = Path(tcfg.save_dir_base) / preset.name
+        self.start_epoch = 0
+        self.best_val_loss = float("inf")
+        if resume == "auto":
+            latest = find_latest_run(str(base))
+            run_dir = latest if latest else base / (
+                run_name or timestamp_run_name())
+        elif resume:
+            run_dir = Path(resume)
+        else:
+            run_dir = base / (run_name or timestamp_run_name())
+        self.ckpt = CheckpointManager(run_dir)
+        if resume and self.ckpt.has("last"):
+            self.state, meta = self.ckpt.restore("last", self.state)
+            self.start_epoch = meta["epoch"] + 1
+            self.best_val_loss = meta["best_val_loss"]
+            print(f"[trainer] resumed from {run_dir} at epoch "
+                  f"{self.start_epoch}, step {int(self.state.step)}")
+
+        self.writer = writer
+        if self.writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                log_dir = Path(tcfg.log_dir_base) / preset.name / run_dir.name
+                self.writer = SummaryWriter(logdir=str(log_dir))
+            except Exception:
+                self.writer = None
+
+    # ------------------------------------------------------------------
+
+    def _put_batch(self, hr, lr):
+        hr, lr = jnp.asarray(hr), jnp.asarray(lr)
+        if self._batch_sharding is not None:
+            hr = jax.device_put(hr, self._batch_sharding)
+            lr = jax.device_put(lr, self._batch_sharding)
+        return hr, lr
+
+    def _log(self, tag_values: Dict[str, float], step: int, prefix: str):
+        if self.writer is None:
+            return
+        for k, v in tag_values.items():
+            self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def validate(self) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        losses = []
+        n = 0
+        rng = jax.random.PRNGKey(1234)
+        for i, (hr, lr) in enumerate(self.val_loader):
+            hr, lr = self._put_batch(hr, lr)
+            m = self.eval_step(self.state, hr, lr, jax.random.fold_in(rng, i))
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            losses.append(float(m["loss"]))
+            n += 1
+        out = {k: v / max(n, 1) for k, v in sums.items()}
+        out["loss_std"] = float(np.std(losses)) if len(losses) > 1 else 0.0
+        return out
+
+    def fit(self, num_epochs: Optional[int] = None, max_steps: int = 0,
+            verbose: bool = True):
+        tcfg = self.preset.train
+        num_epochs = num_epochs or tcfg.num_epochs
+        schedule_lr = None
+        step_count = int(self.state.step)
+        extra = {"preset": self.preset.name}
+
+        for epoch in range(self.start_epoch, num_epochs):
+            self.train_loader.set_epoch(epoch)
+            t0 = time.time()
+            epoch_loss, epoch_batches = 0.0, 0
+            for hr, lr in self.train_loader:
+                hr, lr = self._put_batch(hr, lr)
+                self.state, metrics = self.train_step(self.state, hr, lr)
+                step_count += 1
+                epoch_batches += 1
+                if step_count % tcfg.log_interval_steps == 0:
+                    vals = {k: float(v) for k, v in metrics.items()}
+                    epoch_loss += vals["loss"]
+                    self._log(vals, step_count, "Train")
+                if (tcfg.save_interval_steps
+                        and step_count % tcfg.save_interval_steps == 0):
+                    self.ckpt.save(f"interval_{step_count}", self.state,
+                                   epoch, self.best_val_loss, extra)
+                if max_steps and step_count >= max_steps:
+                    break
+
+            self.ckpt.save("last", self.state, epoch, self.best_val_loss,
+                           extra)
+            val = self.validate()
+            self._log(val, epoch, "Val")
+            if val["loss"] < self.best_val_loss:
+                self.best_val_loss = val["loss"]
+                self.ckpt.save("best", self.state, epoch, self.best_val_loss,
+                               extra)
+            if verbose:
+                print(
+                    f"[epoch {epoch}] {epoch_batches} steps in "
+                    f"{time.time() - t0:.1f}s | val loss "
+                    f"{val['loss']:.5f} ± {val['loss_std']:.5f} "
+                    f"(best {self.best_val_loss:.5f})"
+                )
+            if max_steps and step_count >= max_steps:
+                break
+        if self.writer is not None:
+            self.writer.flush()
+        return self.best_val_loss

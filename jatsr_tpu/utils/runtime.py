@@ -1,0 +1,33 @@
+"""Runtime/platform selection.
+
+This environment's sitecustomize registers the TPU PJRT plugin and pins the
+platform before user code runs, so ``JAX_PLATFORMS`` alone is ignored.
+``select_platform`` applies the choice through ``jax.config`` (which wins),
+reading ``--platform``-style explicit values or the ``JATSR_PLATFORM`` env
+var.  Call it before any computation (it is safe before/after ``import
+jax`` but must precede backend initialisation by first use).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def select_platform(platform: Optional[str] = None) -> Optional[str]:
+    platform = platform or os.environ.get("JATSR_PLATFORM")
+    if not platform:
+        return None
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+    return platform
+
+
+def virtual_cpu_devices(n: int = 8) -> None:
+    """Request n virtual CPU devices (must run before jax backend init)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()

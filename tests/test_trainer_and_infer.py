@@ -1,0 +1,174 @@
+"""Trainer (loop + orbax checkpoint/auto-resume) and chunked inference tests.
+
+Mirrors the reference's resume semantics (train_ddp_v3mod2.py:603-660) and
+the chunk/crossfade pipeline (infer_test_v3m2.py:339-406), plus the
+destructive checkpoint check (tests/test_dac_overfit_v2_destructive.py):
+restoring must actually change the params."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jatsr_tpu.configs import SamplerConfig, get_preset
+from jatsr_tpu.infer import InferencePipeline, chunk_plan, crossfade_chunks
+from jatsr_tpu.models import DiT
+from jatsr_tpu.train.checkpoint import CheckpointManager, find_latest_run
+from jatsr_tpu.train.loop import Trainer
+from jatsr_tpu.train.step import Normalizer
+
+C = 32  # small latent width for speed
+
+
+def _mini_dataset(root: Path, n_songs=3, frames=120):
+    rs = np.random.RandomState(0)
+    for split, count in [("train", n_songs), ("val", 2)]:
+        d = root / split
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            hr = rs.randn(frames, C).astype(np.float16)
+            lr = (0.8 * hr + 0.1 * rs.randn(frames, C)).astype(np.float16)
+            np.save(d / f"s{i}.hr.npy", hr)
+            np.save(d / f"s{i}.lr.npy", lr)
+            (d / f"s{i}.meta.json").write_text(json.dumps({"frames": frames}))
+    stats = {
+        "hr_mean": [0.0] * C, "hr_std": [1.0] * C,
+        "lr_mean": [0.0] * C, "lr_std": [1.0] * C, "total_frames": 1,
+    }
+    (root / "global_stats_separated.json").write_text(json.dumps(stats))
+
+
+def _preset(tmp: Path):
+    p = get_preset("tiny")
+    return dataclasses.replace(
+        p,
+        model=dataclasses.replace(p.model, input_channels=C, cond_channels=C),
+        train=dataclasses.replace(
+            p.train, batch_size=2, save_dir_base=str(tmp / "ckpt"),
+            log_dir_base=str(tmp / "runs"), save_interval_steps=0,
+            num_epochs=2, warmup_steps=5, lr=1e-3,
+        ),
+        data=dataclasses.replace(
+            p.data, target_duration=64 * 512 / 44100,  # 64 frames
+            samples_per_epoch_multiplier=2,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("trainer")
+    _mini_dataset(tmp / "data")
+    preset = _preset(tmp)
+    tr = Trainer(preset, data_dir=str(tmp / "data"), run_name="11112222",
+                 writer=False)
+    tr.writer = None
+    best = tr.fit(verbose=False)
+    return tmp, preset, tr, best
+
+
+def test_trainer_runs_and_checkpoints(trained):
+    tmp, preset, tr, best = trained
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "11112222"
+    assert (run_dir / "last").exists()
+    assert (run_dir / "best").exists()
+    assert np.isfinite(best)
+    assert int(tr.state.step) == 2 * len(tr.train_loader)
+
+
+def test_auto_resume_continues(trained):
+    tmp, preset, tr, _ = trained
+    preset2 = dataclasses.replace(
+        preset, train=dataclasses.replace(preset.train, num_epochs=3)
+    )
+    tr2 = Trainer(preset2, data_dir=str(tmp / "data"), resume="auto",
+                  writer=False)
+    tr2.writer = None
+    assert tr2.start_epoch == 2
+    assert int(tr2.state.step) == int(tr.state.step)
+    tr2.fit(verbose=False)
+    assert int(tr2.state.step) == 3 * len(tr2.train_loader)
+
+
+def test_restore_actually_loads_weights(trained):
+    """Destructive control: fresh-initialised params differ from the
+    checkpoint; after restore they match the trained state exactly."""
+    tmp, preset, tr, _ = trained
+    fresh = Trainer(preset, data_dir=str(tmp / "data"), run_name="99999999",
+                    writer=False)
+    fresh.writer = None
+    # pick a leaf the optimiser actually moves (biases start at 0 both times)
+    leaves = {
+        jax.tree_util.keystr(kp): np.asarray(v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(fresh.state.params)[0]
+    }
+    key = next(k for k in leaves if "patch_in" in k and "kernel" in k)
+    fresh_leaf = leaves[key]
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "11112222"
+    restored, meta = CheckpointManager(run_dir).restore("last", fresh.state)
+    restored_leaves = {
+        jax.tree_util.keystr(kp): np.asarray(v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(restored.params)[0]
+    }
+    # restore replaced the fresh init (the destructive control: if these were
+    # equal, checkpoint loading would be a no-op)
+    assert not np.allclose(restored_leaves[key], fresh_leaf)
+    assert int(restored.step) == meta["global_step"] > 0
+    # determinism: a second restore yields identical weights
+    again, _ = CheckpointManager(run_dir).restore("last", fresh.state)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(again.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+    )
+
+
+def test_find_latest_run(trained):
+    tmp, preset, *_ = trained
+    base = Path(preset.train.save_dir_base) / "tiny"
+    latest = find_latest_run(str(base))
+    assert latest is not None and latest.name == "11112222"
+
+
+# --- chunked inference ---------------------------------------------------
+
+
+def test_chunk_plan_coverage():
+    plan = chunk_plan(5000, 1378, 172)
+    assert plan[0] == (0, 1378)
+    assert plan[-1][1] == 5000
+    for (s1, e1), (s2, e2) in zip(plan, plan[1:]):
+        assert s2 == s1 + 1378 - 172  # stride
+        assert s2 < e1  # overlap exists
+    assert chunk_plan(100, 1378, 172) == [(0, 100)]
+
+
+def test_crossfade_constant_signal_preserved():
+    a = np.ones((50, 4), np.float32)
+    b = np.ones((50, 4), np.float32)
+    out = crossfade_chunks([a, b], 10)
+    assert out.shape == (90, 4)
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+
+def test_pipeline_long_latent(trained):
+    tmp, preset, tr, _ = trained
+    norm = Normalizer(np.zeros(C), np.ones(C), np.zeros(C), np.ones(C))
+    scfg = SamplerConfig(
+        num_steps=4,
+        chunk_duration=64 * 512 / 44100,  # 64-frame chunks
+        overlap_duration=16 * 512 / 44100,  # 16-frame overlap
+    )
+    pipe = InferencePipeline(tr.model, tr.state.params, norm,
+                             sampler_cfg=scfg)
+    assert pipe.chunk_frames == 64 and pipe.overlap_frames == 16
+    lr_latent = np.random.RandomState(0).randn(150, C).astype(np.float32)
+    out = pipe.super_resolve_latent(lr_latent, jax.random.PRNGKey(0))
+    assert out.shape == (150, C)
+    assert np.isfinite(out).all()
+    # CFG path with chunk grouping
+    out2 = pipe.super_resolve_latent(lr_latent, cfg_scale=2.0, max_batch=2)
+    assert out2.shape == (150, C)
