@@ -64,8 +64,9 @@ def main():
     n_params = count_params(params)
 
     sampler = FlowSampler(
-        lambda z, t, c: model.apply({"params": params}, z, t, c),
+        lambda p, z, t, c: model.apply({"params": p}, z, t, c),
         SamplerConfig(num_steps=args.steps, cfg_scale=args.cfg_scale),
+        params=params,
     )
 
     def run(i):

@@ -85,14 +85,22 @@ class LatentDataset:
     def __len__(self):
         return len(self.store) * self.multiplier
 
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        hr, lr = self.store.get(idx % len(self.store))
+    def sample_plan(self, idx: int) -> Tuple[int, int]:
+        """(file_idx, crop_start) for sample ``idx`` — shared by the Python
+        and native batch paths."""
+        file_idx = idx % len(self.store)
+        hr, _ = self.store.get(file_idx)
         length = hr.shape[0]
         start = (
             self.rng.randint(0, length - self.target + 1)
             if length > self.target
             else 0
         )
+        return file_idx, start
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        file_idx, start = self.sample_plan(idx)
+        hr, lr = self.store.get(file_idx)
         return _crop_or_loop(hr, lr, start, self.target)
 
 
@@ -109,10 +117,10 @@ class ValidationDataset:
     def __len__(self):
         return len(self.store) * self.multiplier
 
-    def __getitem__(self, idx: int):
+    def sample_plan(self, idx: int) -> Tuple[int, int]:
         file_idx = idx % len(self.store)
         sample_idx = idx // len(self.store)
-        hr, lr = self.store.get(file_idx)
+        hr, _ = self.store.get(file_idx)
         length = hr.shape[0]
         if length <= self.target:
             start = 0
@@ -124,6 +132,11 @@ class ValidationDataset:
                 int(seg * sample_idx / (self.multiplier - 1)),
                 length - self.target,
             )
+        return file_idx, start
+
+    def __getitem__(self, idx: int):
+        file_idx, start = self.sample_plan(idx)
+        hr, lr = self.store.get(file_idx)
         return _crop_or_loop(hr, lr, start, self.target)
 
 
@@ -136,7 +149,8 @@ class BatchLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, prefetch: int = 2):
+                 drop_last: bool = True, seed: int = 0, prefetch: int = 2,
+                 native: bool = False, native_threads: int = 4):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -144,6 +158,20 @@ class BatchLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self._native_store = None
+        if native:
+            from .native_loader import NativeLatentStore, is_available
+
+            if not is_available():
+                from .native_loader import build_error
+
+                raise RuntimeError(
+                    f"native loader requested but unavailable: {build_error()}"
+                )
+            self._native_store = NativeLatentStore(
+                [str(p) for p in dataset.store.files],
+                n_threads=native_threads,
+            )
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -159,6 +187,13 @@ class BatchLoader:
         return idx
 
     def _assemble(self, batch_idx) -> Tuple[np.ndarray, np.ndarray]:
+        if self._native_store is not None:
+            plans = [self.ds.sample_plan(int(i)) for i in batch_idx]
+            file_idx = np.asarray([p[0] for p in plans], np.int64)
+            starts = np.asarray([p[1] for p in plans], np.int64)
+            return self._native_store.fill_batch(
+                file_idx, starts, self.ds.target
+            )
         samples = [self.ds[int(i)] for i in batch_idx]
         hr = np.stack([s[0] for s in samples])
         lr = np.stack([s[1] for s in samples])

@@ -298,6 +298,57 @@ class PreprocessPipeline:
         self.finalize_stats()
         return counts
 
+    def refine_lr_only(self, low_sr: int, verbose: bool = True) -> int:
+        """Re-encode ONLY the LR latents with a different simulated low
+        sample rate, in place (the reference's refine_dataset_lr_only.py:
+        LOW_SR=32000 experiment).  Logs ``redone`` entries; stats must be
+        recomputed afterwards (compute_separated_stats)."""
+        c = self.cfg
+        refined = 0
+        for split in ("train", "val"):
+            for meta_path in sorted((self.out / split).glob("*.meta.json")):
+                meta = json.loads(meta_path.read_text())
+                src = meta.get("path")
+                if not src or not Path(src).exists():
+                    self._log({"path": src, "status": "refine_missing_src"})
+                    continue
+                audio, sr = load_wav(src, mono=True)
+                peak = np.abs(audio).max() if audio.size else 0.0
+                if peak > 1.0:
+                    audio = audio / peak
+                if sr != c.high_sr:
+                    audio = np.asarray(
+                        resample(jnp.asarray(audio[None, :]), sr, c.high_sr)
+                    )[0]
+                wins = self._window_song(audio)[..., None]
+                lr48 = simulate_lr(jnp.asarray(wins), c.high_sr, low_sr)
+                lr = resample(lr48, c.high_sr, c.dac_sample_rate)
+                pad = (-lr.shape[1]) % self.codec.cfg.hop_length
+                if pad:
+                    lr = jnp.pad(lr, ((0, 0), (0, pad), (0, 0)))
+                from ..models.dac.model import encoder_forward, quantize
+
+                z_lr, _ = quantize(
+                    self.codec.params,
+                    encoder_forward(self.codec.params, lr, self.codec.cfg),
+                    self.codec.cfg,
+                )
+                z_lr = np.asarray(z_lr)
+                hop48 = self._win_samples / z_lr.shape[1]
+                trim = int(self._overlap_samples / hop48)
+                valid = int(self._valid_samples / hop48)
+                full_lr = z_lr[:, trim : trim + valid, :].reshape(
+                    -1, z_lr.shape[-1]
+                )[: int(len(audio) / hop48)]
+                base = str(meta_path).replace(".meta.json", "")
+                np.save(base + ".lr.npy", full_lr.astype(np.float16))
+                self._log({"path": src, "status": "redone",
+                           "low_sr": low_sr})
+                refined += 1
+                if verbose and refined % 10 == 0:
+                    print(f"[refine_lr] {refined} songs")
+        return refined
+
     def finalize_stats(self):
         (self.out / "global_stats.json").write_text(
             json.dumps(self.acc.combined_stats(), indent=2)

@@ -84,9 +84,12 @@ class InferencePipeline:
         self.cfg = sampler_cfg or SamplerConfig()
         self.sr = data_sample_rate
         self.hop = hop_length
+        # params flow through the jit boundary as arguments — closing over
+        # them would serialise 766 M weights into the compiled HLO.
         self.sampler = FlowSampler(
-            lambda z, t, c: model.apply({"params": self.params}, z, t, c),
+            lambda p, z, t, c: model.apply({"params": p}, z, t, c),
             self.cfg,
+            params=self.params,
         )
 
     @property

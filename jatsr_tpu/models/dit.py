@@ -113,6 +113,17 @@ class GQAttention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        # Fused Pallas kernel on the deterministic path (inference/serving);
+        # training keeps the XLA einsum (autodiff + attention dropout).
+        if cfg.attention_impl == "pallas" and deterministic:
+            from ..ops.attention import gqa_attention
+
+            out = gqa_attention(
+                q, k, v, interpret=jax.default_backend() != "tpu"
+            )
+            out = out.reshape(B, N, Hq * D)
+            return dense(cfg.hidden_size, "out_proj")(out)
+
         q = q.reshape(B, N, Hkv, G, D)
         # Logits in fp32 on the MXU.
         scores = jnp.einsum(

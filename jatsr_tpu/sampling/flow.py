@@ -55,12 +55,28 @@ class FlowSampler:
         cfg: sampler hyperparameters.
     """
 
-    def __init__(self, model_fn: Callable, cfg: Optional[SamplerConfig] = None):
+    def __init__(self, model_fn: Callable, cfg: Optional[SamplerConfig] = None,
+                 params=None):
+        """Two calling conventions:
+
+        - ``FlowSampler(lambda z, t, c: ..., cfg)`` — model_fn closes over
+          its weights (fine for small models/tests).
+        - ``FlowSampler(lambda p, z, t, c: ..., cfg, params=params)`` —
+          weights flow through the jit boundary as a real argument.  REQUIRED
+          for large models: closed-over params serialise as constants into
+          the HLO (gigabytes for the 766 M model).
+        """
         self.model_fn = model_fn
         self.cfg = cfg or SamplerConfig()
+        self.params = params
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _sample_nocfg(self, cond, z0, timesteps):
+    def _model(self, params, z, t, c):
+        if self.params is None:
+            return self.model_fn(z, t, c)
+        return self.model_fn(params, z, t, c)
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _sample_nocfg(self, params, cond, z0, timesteps):
         eps = self.cfg.velocity_eps
         jump = self.cfg.t_jump_threshold
 
@@ -68,15 +84,15 @@ class FlowSampler:
             t_curr = timesteps[i]
             dt = timesteps[i + 1] - t_curr
             t_b = jnp.full((z.shape[0],), t_curr, dtype=jnp.float32)
-            x_pred = self.model_fn(z, t_b, cond).astype(z.dtype)
+            x_pred = self._model(params, z, t_b, cond).astype(z.dtype)
             v = (x_pred - z) / (1.0 - t_curr + eps)
             return jnp.where(t_curr < jump, z + v * dt, x_pred)
 
         n = timesteps.shape[0] - 1
         return jax.lax.fori_loop(0, n, body, z0)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-    def _sample_cfg(self, cond, z0, timesteps, cfg_scale):
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _sample_cfg(self, params, cond, z0, timesteps, cfg_scale):
         eps = self.cfg.velocity_eps
         jump = self.cfg.t_jump_threshold
         B = z0.shape[0]
@@ -89,7 +105,7 @@ class FlowSampler:
             dt = timesteps[i + 1] - t_curr
             z2 = jnp.concatenate([z, z], axis=0)
             t_b = jnp.full((2 * B,), t_curr, dtype=jnp.float32)
-            pred = self.model_fn(z2, t_b, cond_full).astype(z.dtype)
+            pred = self._model(params, z2, t_b, cond_full).astype(z.dtype)
             x_c, x_u = pred[:B], pred[B:]
             x_pred = x_u + cfg_scale * (x_c - x_u)
             v = (x_pred - z) / (1.0 - t_curr + eps)
@@ -119,5 +135,35 @@ class FlowSampler:
         z0 = jax.random.normal(key, cond.shape, dtype=jnp.float32)
         timesteps = jnp.linspace(0.0, 1.0, num_steps + 1, dtype=jnp.float32)
         if cfg_scale != 1.0:
-            return self._sample_cfg(cond, z0, timesteps, jnp.float32(cfg_scale))
-        return self._sample_nocfg(cond, z0, timesteps)
+            return self._sample_cfg(self.params, cond, z0, timesteps,
+                                    jnp.float32(cfg_scale))
+        return self._sample_nocfg(self.params, cond, z0, timesteps)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _renoise(self, params, cond, key, timesteps):
+        def body(i, z):
+            t_curr = timesteps[i]
+            t_next = timesteps[i + 1]
+            t_b = jnp.full((z.shape[0],), t_curr, dtype=jnp.float32)
+            x_pred = self._model(params, z, t_b, cond).astype(z.dtype)
+            # re-noise the prediction to the next time level
+            noise = jax.random.normal(jax.random.fold_in(key, i), z.shape,
+                                      z.dtype)
+            z_next = t_next * x_pred + (1.0 - t_next) * noise
+            return jnp.where(t_next < 1.0, z_next, x_pred)
+
+        n = timesteps.shape[0] - 1
+        z0 = jax.random.normal(jax.random.fold_in(key, n + 1), cond.shape,
+                               jnp.float32)
+        return jax.lax.fori_loop(0, n, body, z0)
+
+    def renoise_sample(self, key: jax.Array, cond: jax.Array,
+                       num_steps: Optional[int] = None) -> jax.Array:
+        """DDIM-style re-noising sampler: predict x0, then re-interpolate
+        with FRESH noise at the next t (the reference's overfit-test
+        sampler, tests/test_dac_overfit_v2.py:308-348).  Stochastic; kept
+        for parity/diagnostics — the Euler ODE path is the production
+        sampler."""
+        num_steps = num_steps or self.cfg.num_steps
+        timesteps = jnp.linspace(0.0, 1.0, num_steps + 1, dtype=jnp.float32)
+        return self._renoise(self.params, cond, key, timesteps)

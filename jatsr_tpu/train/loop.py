@@ -176,6 +176,9 @@ class Trainer:
         step_count = int(self.state.step)
         extra = {"preset": self.preset.name}
 
+        from ..utils.profiling import StepTimer
+
+        timer = StepTimer()
         for epoch in range(self.start_epoch, num_epochs):
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
@@ -188,6 +191,9 @@ class Trainer:
                 if step_count % tcfg.log_interval_steps == 0:
                     vals = {k: float(v) for k, v in metrics.items()}
                     epoch_loss += vals["loss"]
+                    timer.tick()  # blocks here only (metrics were pulled)
+                    vals["steps_per_sec"] = timer.steps_per_sec() \
+                        * tcfg.log_interval_steps
                     self._log(vals, step_count, "Train")
                 if (tcfg.save_interval_steps
                         and step_count % tcfg.save_interval_steps == 0):

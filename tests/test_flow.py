@@ -67,3 +67,12 @@ def test_cfg_scale_one_equals_uncond_path():
         jax.random.PRNGKey(3), cond
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_renoise_sampler_oracle():
+    """Re-noising sampler with an oracle x0-model converges to x0 exactly
+    (final step returns x_pred when t_next == 1)."""
+    target = jnp.asarray(np.random.RandomState(5).randn(2, 8, 4), jnp.float32)
+    s = FlowSampler(lambda z, t, c: target, SamplerConfig(num_steps=10))
+    out = s.renoise_sample(jax.random.PRNGKey(0), jnp.zeros((2, 8, 4)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(target), atol=1e-5)

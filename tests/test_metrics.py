@@ -96,3 +96,14 @@ def test_grading_thresholds():
     assert grade_quality(0.5, 0.5) == "LSD: excellent, Mel: excellent"
     assert grade_quality(3.0, 5.0) == "LSD: poor, Mel: poor"
     assert grade_quality(1.2, 2.5) == "LSD: good, Mel: fair"
+
+
+def test_spectrum_plots(tmp_path):
+    from jatsr_tpu.metrics.plots import plot_audio_spectrum, plot_comparison
+
+    x = _tone(440, secs=0.3)
+    p1 = plot_audio_spectrum(x, 44100, tmp_path / "spec.png", title="t")
+    p2 = plot_comparison([("a", x), ("b", x * 0.5)], 44100,
+                         tmp_path / "cmp.png")
+    assert p1.exists() and p1.stat().st_size > 1000
+    assert p2.exists() and p2.stat().st_size > 1000
