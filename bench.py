@@ -72,15 +72,18 @@ def main():
     def run(i):
         out = sampler(jax.random.PRNGKey(i), cond,
                       num_steps=args.steps, cfg_scale=args.cfg_scale)
-        jax.block_until_ready(out)
-        return out
+        # Fetch a scalar: under the tunnelled backend block_until_ready can
+        # return before remote execution completes — a host transfer is the
+        # only reliable completion barrier.
+        return float(out.mean())
 
     run(0)  # compile + warmup
     best = float("inf")
     for i in range(args.iters):
         t0 = time.perf_counter()
-        run(i + 1)
+        chk = run(i + 1)
         best = min(best, time.perf_counter() - t0)
+    assert chk == chk, "NaN output"
 
     audio_sec = B * args.seconds_per_chunk if not args.quick else B * T * 512 / 44100
     value = audio_sec / best
