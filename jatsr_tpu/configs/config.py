@@ -148,6 +148,13 @@ class TrainConfig:
     mesh_shape: Tuple[int, int] = (1, 1)  # (data, model)
     # Rematerialise DiT blocks in the backward pass (trades FLOPs for HBM).
     remat: bool = True
+    # Adam moment dtype: "bfloat16" halves optimizer HBM (766M fp32 AdamW
+    # needs ~12 GB; bf16 moments fit a single v5e chip), "float32" for exact
+    # parity with the reference's AdamW.
+    adam_moments_dtype: str = "float32"
+    # ZeRO-1: shard optimizer moments over the data axis (all-gather at
+    # update time is inserted by GSPMD).
+    shard_opt_state: bool = False
 
 
 @dataclass(frozen=True)

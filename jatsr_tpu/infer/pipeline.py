@@ -76,14 +76,28 @@ class InferencePipeline:
         sampler_cfg: Optional[SamplerConfig] = None,
         data_sample_rate: int = 44100,
         hop_length: int = 512,
+        mesh=None,
     ):
+        """``mesh``: optional (data, model) device mesh — chunk batches are
+        sharded over ``data`` and params placed per the TP rules, so one
+        sampler call data-parallelises across a v5e-8 style slice."""
         self.model = model
-        self.params = params
         self.norm = normalizer
         self.codec = codec
         self.cfg = sampler_cfg or SamplerConfig()
         self.sr = data_sample_rate
         self.hop = hop_length
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import batch_sharding, param_shardings
+
+            params = jax.device_put(params, param_shardings(mesh, params))
+            self._batch_sharding = batch_sharding(mesh)
+            self._data_size = mesh.shape["data"]
+        else:
+            self._batch_sharding = None
+            self._data_size = 1
+        self.params = params
         # params flow through the jit boundary as arguments — closing over
         # them would serialise 766 M weights into the compiled HLO.
         self.sampler = FlowSampler(
@@ -130,9 +144,17 @@ class InferencePipeline:
         )
         outs = []
         for gi, g in enumerate(groups):
+            n_real = g.shape[0]
+            if self._batch_sharding is not None:
+                pad_b = (-n_real) % self._data_size
+                if pad_b:
+                    g = jnp.concatenate(
+                        [g, jnp.zeros((pad_b,) + g.shape[1:], g.dtype)], 0
+                    )
+                g = jax.device_put(g, self._batch_sharding)
             gen = self.sampler(
                 jax.random.fold_in(key, gi), g, num_steps, cfg_scale
-            )
+            )[:n_real]
             outs.append(np.asarray(self.norm.denorm_hr(gen)))
         gen_all = np.concatenate(outs, axis=0)
 

@@ -91,6 +91,27 @@ def param_shardings(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(lookup, params)
 
 
+def opt_state_shardings(mesh: Mesh, opt_state):
+    """ZeRO-1-style sharding of optimizer moments over the data axis.
+
+    Each array leaf whose leading dim divides by the data-axis size is
+    sharded on that dim; GSPMD inserts the all-gather when the update is
+    applied.  (The reference replicates optimizer state per GPU, DDP-style;
+    this cuts per-chip optimizer HBM by the data-parallel degree.)
+    """
+    data_size = mesh.shape[DATA_AXIS]
+
+    def spec(leaf):
+        shape = np.shape(leaf)
+        if len(shape) >= 1 and shape[0] % data_size == 0 and shape[0] > 0:
+            return NamedSharding(
+                mesh, P(DATA_AXIS, *([None] * (len(shape) - 1)))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, opt_state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """[B, T, C] batches shard over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS, None, None))

@@ -32,6 +32,7 @@ from ..configs import Preset
 from ..data import BatchLoader, LatentDataset, ValidationDataset, load_stats
 from ..models import DiT, count_params
 from ..parallel import batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel.mesh import opt_state_shardings
 from .checkpoint import CheckpointManager, find_latest_run, timestamp_run_name
 from .state import create_train_state
 from .step import Normalizer, make_eval_step, make_train_step
@@ -89,7 +90,9 @@ class Trainer:
                 ),
                 opt_state=jax.device_put(
                     self.state.opt_state,
-                    jax.tree_util.tree_map(
+                    opt_state_shardings(mesh, self.state.opt_state)
+                    if tcfg.shard_opt_state
+                    else jax.tree_util.tree_map(
                         lambda _: rep, self.state.opt_state,
                         is_leaf=lambda x: isinstance(x, jax.Array),
                     ),

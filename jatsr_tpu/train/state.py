@@ -38,6 +38,8 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int):
+    import jax.numpy as jnp
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adamw(
@@ -46,6 +48,7 @@ def make_optimizer(cfg: TrainConfig, total_steps: int):
             b2=0.999,
             eps=1e-8,
             weight_decay=cfg.weight_decay,
+            mu_dtype=jnp.dtype(cfg.adam_moments_dtype),
         ),
     )
 

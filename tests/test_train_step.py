@@ -126,3 +126,36 @@ def test_spmd_matches_single_device(mesh_shape):
     # One more step to ensure the updated (sharded) state is consumable.
     _, m2 = jax.jit(step)(new_state, hr_s, lr_s)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_zero1_opt_state_sharding_matches():
+    """ZeRO-1: moments sharded over the data axis must give identical
+    training results (GSPMD handles the gathers)."""
+    from jatsr_tpu.parallel.mesh import opt_state_shardings
+
+    state, step, (hr, lr), *_ = _setup(
+        {"condition_noise_ratio": 0.0, "adam_moments_dtype": "bfloat16"}
+    )
+    hr = jnp.tile(hr, (2, 1, 1))
+    lr = jnp.tile(lr, (2, 1, 1))
+    # two steps unsharded
+    s_ref = state
+    jstep = jax.jit(step)
+    for _ in range(2):
+        s_ref, m_ref = jstep(s_ref, hr, lr)
+
+    mesh = make_mesh(4, 2)
+    rep = replicated(mesh)
+    s_sh = state.replace(
+        params=jax.device_put(state.params, param_shardings(mesh, state.params)),
+        opt_state=jax.device_put(state.opt_state,
+                                 opt_state_shardings(mesh, state.opt_state)),
+        step=jax.device_put(state.step, rep),
+        rng=jax.device_put(state.rng, rep),
+    )
+    bs = batch_sharding(mesh)
+    hr_s, lr_s = jax.device_put(hr, bs), jax.device_put(lr, bs)
+    for _ in range(2):
+        s_sh, m_sh = jstep(s_sh, hr_s, lr_s)
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)

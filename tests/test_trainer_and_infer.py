@@ -172,3 +172,25 @@ def test_pipeline_long_latent(trained):
     # CFG path with chunk grouping
     out2 = pipe.super_resolve_latent(lr_latent, cfg_scale=2.0, max_batch=2)
     assert out2.shape == (150, C)
+
+
+def test_pipeline_multichip_mesh(trained):
+    """Sampler data-parallel over the virtual mesh must match single-device
+    output (same keys, same chunks)."""
+    from jatsr_tpu.parallel import make_mesh
+
+    tmp, preset, tr, _ = trained
+    norm = Normalizer(np.zeros(C), np.ones(C), np.zeros(C), np.ones(C))
+    scfg = SamplerConfig(num_steps=3, chunk_duration=64 * 512 / 44100,
+                         overlap_duration=16 * 512 / 44100)
+    lr_latent = np.random.RandomState(1).randn(150, C).astype(np.float32)
+    pipe1 = InferencePipeline(tr.model, tr.state.params, norm,
+                              sampler_cfg=scfg)
+    out1 = pipe1.super_resolve_latent(lr_latent, jax.random.PRNGKey(7))
+    pipe8 = InferencePipeline(tr.model, tr.state.params, norm,
+                              sampler_cfg=scfg, mesh=make_mesh(4, 2))
+    out8 = pipe8.super_resolve_latent(lr_latent, jax.random.PRNGKey(7))
+    assert out8.shape == out1.shape
+    # bf16 matmuls reduce in different orders under sharding; tolerance is
+    # bf16-noise-sized, far below any semantic difference.
+    np.testing.assert_allclose(out1, out8, atol=1e-3)
