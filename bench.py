@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--cfg-scale", type=float, default=3.0)
     ap.add_argument("--seconds-per-chunk", type=float, default=16.0)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--int8", action="store_true",
+                    help="dynamic W8A8 serving mode on the big projections")
+    ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -45,7 +48,9 @@ def main():
 
     preset = get_preset("tiny" if args.quick else "v3")
     mcfg = dataclasses.replace(
-        preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0
+        preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
+        matmul_precision="int8" if args.int8 else "bf16",
+        attention_impl=args.attention,
     )
     model = DiT(mcfg)
 

@@ -20,9 +20,13 @@ from pathlib import Path
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--run-dir", default=None,
+                    help="jatsr_tpu run dir with Orbax checkpoints")
     ap.add_argument("--checkpoint", default="best",
                     help="checkpoint name inside run dir (best/last/...)")
+    ap.add_argument("--torch-checkpoint", default=None,
+                    help="a reference train_ddp_*.py .pt checkpoint to "
+                         "convert and run directly")
     ap.add_argument("--preset", default="v3mod2")
     ap.add_argument("--stats", required=True)
     ap.add_argument("--input", required=True)
@@ -56,15 +60,29 @@ def main(argv=None):
     model = DiT(preset.model)
     C = preset.model.input_channels
 
-    # Rebuild a state skeleton and restore weights.
     import jax.numpy as jnp
 
-    dummy = jnp.zeros((1, 8, C), jnp.float32)
-    state = create_train_state(model, preset.train, 1, (dummy, dummy))
-    state, meta = CheckpointManager(args.run_dir).restore(
-        args.checkpoint, state
-    )
-    print(f"[infer] restored {args.checkpoint} @ step {meta['global_step']}")
+    if args.torch_checkpoint:
+        from ..models.convert_dit import load_reference_checkpoint
+
+        params = jax.tree_util.tree_map(
+            jnp.asarray,
+            load_reference_checkpoint(args.torch_checkpoint, preset.model),
+        )
+        print(f"[infer] converted reference checkpoint "
+              f"{args.torch_checkpoint}")
+    else:
+        if not args.run_dir:
+            raise SystemExit("need --run-dir or --torch-checkpoint")
+        # Rebuild a state skeleton and restore weights.
+        dummy = jnp.zeros((1, 8, C), jnp.float32)
+        state = create_train_state(model, preset.train, 1, (dummy, dummy))
+        state, meta = CheckpointManager(args.run_dir).restore(
+            args.checkpoint, state
+        )
+        params = state.params
+        print(f"[infer] restored {args.checkpoint} @ step "
+              f"{meta['global_step']}")
 
     if args.dac_weights:
         from ..models.dac.convert import load_torch_checkpoint
@@ -80,7 +98,7 @@ def main(argv=None):
     scfg = dataclasses.replace(
         preset.sampler, num_steps=args.steps, cfg_scale=args.cfg_scale
     )
-    pipe = InferencePipeline(model, state.params, norm, codec, scfg)
+    pipe = InferencePipeline(model, params, norm, codec, scfg)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -104,7 +104,8 @@ class GQAttention(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         dense = lambda feat, name: nn.Dense(
             feat, use_bias=False, dtype=dtype,
-            param_dtype=jnp.dtype(cfg.param_dtype), name=name)
+            param_dtype=jnp.dtype(cfg.param_dtype), name=name,
+            dot_general=_dot_general_for(cfg))
 
         q = dense(Hq * D, "q_proj")(x).reshape(B, N, Hq, D)
         k = dense(Hkv * D, "k_proj")(x).reshape(B, N, Hkv, D)
@@ -146,6 +147,16 @@ class GQAttention(nn.Module):
 # ---------------------------------------------------------------------------
 # DiT block
 # ---------------------------------------------------------------------------
+
+
+def _dot_general_for(cfg: ModelConfig):
+    """Pick the matmul kernel for the large projections: int8 dynamic W8A8
+    in serving mode, the default MXU bf16 path otherwise."""
+    if cfg.matmul_precision == "int8":
+        from ..ops.quant import int8_dot_general
+
+        return int8_dot_general
+    return None
 
 
 def _norm(cfg: ModelConfig, name: str):
@@ -206,10 +217,13 @@ class DiTBlock(nn.Module):
         h = _norm(cfg, "norm2")(x)
         h = h * (1 + expand(scale_mlp)) + expand(shift_mlp)
         mlp_dim = int(H * cfg.mlp_ratio)
-        h = nn.Dense(mlp_dim, dtype=dtype, param_dtype=pdtype, name="mlp_in")(h)
+        dg = _dot_general_for(cfg)
+        h = nn.Dense(mlp_dim, dtype=dtype, param_dtype=pdtype, name="mlp_in",
+                     dot_general=dg)(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(H, dtype=dtype, param_dtype=pdtype, name="mlp_out")(h)
+        h = nn.Dense(H, dtype=dtype, param_dtype=pdtype, name="mlp_out",
+                     dot_general=dg)(h)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
         h = expand(gate_mlp) * h
         if not deterministic:
@@ -265,11 +279,12 @@ class DiT(nn.Module):
 
         # Bottleneck patch embed: Dense(P*2C -> bottleneck) -> GELU -> Dense
         # (jat_audiosr_v2.py:204-208).
+        dg = _dot_general_for(cfg)
         h = nn.Dense(cfg.bottleneck_dim, dtype=dtype, param_dtype=pdtype,
-                     name="patch_in")(x_in)
+                     name="patch_in", dot_general=dg)(x_in)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=dtype, param_dtype=pdtype,
-                     name="patch_out")(h)
+                     name="patch_out", dot_general=dg)(h)
 
         # Time embedding MLP (fp32; jat_audiosr_v2.py:341-346).
         t_emb = sinusoidal_time_embedding(t, cfg.hidden_size)

@@ -81,3 +81,42 @@ def test_training_path_ignores_pallas():
             jax.tree_util.tree_map(lambda v: (v.astype(jnp.float32)**2).sum(), g),
         ))
     )
+
+
+def test_int8_matmul_close_to_bf16():
+    """int8 dynamic W8A8 serving mode stays close to the bf16 path."""
+    import dataclasses
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+    import jax, jax.numpy as jnp, numpy as np
+
+    base = get_preset("tiny").model
+    cfg_b = dataclasses.replace(base, dropout=0.0)
+    cfg_q = dataclasses.replace(base, dropout=0.0, matmul_precision="int8")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 36, base.input_channels))
+    t = jnp.full((2,), 0.3)
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 36, base.cond_channels))
+    params = DiT(cfg_b).init({"params": key, "dropout": key}, x, t, c)["params"]
+    params = jax.tree_util.tree_map(lambda p: p + 0.01 * jnp.ones_like(p), params)
+    out_b = np.asarray(DiT(cfg_b).apply({"params": params}, x, t, c))
+    out_q = np.asarray(DiT(cfg_q).apply({"params": params}, x, t, c))
+    # relative error of the quantized path vs bf16, on the output scale
+    denom = np.abs(out_b).mean() + 1e-6
+    rel = np.abs(out_q - out_b).mean() / denom
+    assert rel < 0.1, rel
+
+
+def test_int8_dot_general_unit():
+    import jax, jax.numpy as jnp, numpy as np
+    from jatsr_tpu.ops.quant import int8_dot_general
+
+    rs = np.random.RandomState(0)
+    a = jnp.asarray(rs.randn(5, 7, 64), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(64, 32), jnp.float32)
+    dn = (((2,), (0,)), ((), ()))
+    got = np.asarray(int8_dot_general(a, w, dn)).astype(np.float32)
+    want = np.asarray(jax.lax.dot_general(a.astype(jnp.float32), w, dn))
+    err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-6)
+    assert err < 0.02, err
+    assert got.shape == want.shape
