@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--max-steps", type=int, default=0)
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--shard-opt-state", action="store_true",
+                    help="ZeRO-1: shard Adam moments over the data axis")
+    ap.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler trace of the first N steps")
     ap.add_argument("--platform", default=None,
                 help="force jax platform (cpu/tpu)")
     args = ap.parse_args(argv)
@@ -44,17 +48,27 @@ def main(argv=None):
     from ..train.loop import Trainer
 
     preset = get_preset(args.preset)
+    train_over = {}
     if args.batch_size:
+        train_over["batch_size"] = args.batch_size
+    if args.shard_opt_state:
+        train_over["shard_opt_state"] = True
+    if train_over:
         preset = dataclasses.replace(
-            preset,
-            train=dataclasses.replace(preset.train,
-                                      batch_size=args.batch_size),
+            preset, train=dataclasses.replace(preset.train, **train_over)
         )
     mesh = make_mesh(*args.mesh) if args.mesh else None
     trainer = Trainer(preset, data_dir=args.data_dir, resume=args.resume,
                       mesh=mesh)
     print(f"[train] preset={preset.name} params={trainer.n_params/1e6:.1f}M "
           f"steps/epoch={len(trainer.train_loader)} mesh={args.mesh}")
+    if args.profile_steps:
+        from ..utils.profiling import trace
+
+        with trace(str(trainer.ckpt.run_dir / "profile")):
+            trainer.fit(num_epochs=args.epochs,
+                        max_steps=int(trainer.state.step) + args.profile_steps)
+        print(f"[train] profile trace in {trainer.ckpt.run_dir}/profile")
     best = trainer.fit(num_epochs=args.epochs, max_steps=args.max_steps)
     print(f"[train] done; best val loss {best:.5f}")
 

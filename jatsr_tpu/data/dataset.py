@@ -80,23 +80,34 @@ class LatentDataset:
         self.store = _LatentFiles(data_dir, split)
         self.target = target_frames
         self.multiplier = multiplier
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.store) * self.multiplier
 
     def sample_plan(self, idx: int) -> Tuple[int, int]:
         """(file_idx, crop_start) for sample ``idx`` — shared by the Python
-        and native batch paths."""
+        and native batch paths.
+
+        Crop positions are a pure function of (seed, epoch, idx): resuming a
+        run at an epoch boundary reproduces the exact crop sequence.  (The
+        reference needs to checkpoint/restore the numpy RNG state for the
+        same guarantee, train_ddp_v3mod2.py:1129-1135.)
+        """
         file_idx = idx % len(self.store)
         hr, _ = self.store.get(file_idx)
         length = hr.shape[0]
-        start = (
-            self.rng.randint(0, length - self.target + 1)
-            if length > self.target
-            else 0
+        if length <= self.target:
+            return file_idx, 0
+        mix = (self.seed * 1_000_003 + self.epoch * 9_176 + idx) % (2**31 - 1)
+        start = np.random.RandomState(mix).randint(
+            0, length - self.target + 1
         )
-        return file_idx, start
+        return file_idx, int(start)
 
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         file_idx, start = self.sample_plan(idx)
@@ -175,6 +186,8 @@ class BatchLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.ds)

@@ -140,6 +140,10 @@ class Trainer:
             except Exception:
                 self.writer = None
 
+        # Persist the full preset alongside checkpoints (the reference saves
+        # model_params inside every checkpoint, train_ddp_v3mod2.py:1145).
+        (self.ckpt.run_dir / "preset.json").write_text(preset.to_json())
+
     # ------------------------------------------------------------------
 
     def _put_batch(self, hr, lr):
@@ -150,7 +154,7 @@ class Trainer:
         return hr, lr
 
     def _log(self, tag_values: Dict[str, float], step: int, prefix: str):
-        if self.writer is None:
+        if not self.writer:
             return
         for k, v in tag_values.items():
             self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
@@ -175,13 +179,27 @@ class Trainer:
             verbose: bool = True):
         tcfg = self.preset.train
         num_epochs = num_epochs or tcfg.num_epochs
-        schedule_lr = None
-        step_count = int(self.state.step)
         extra = {"preset": self.preset.name}
 
         from ..utils.profiling import StepTimer
 
         timer = StepTimer()
+        try:
+            self._fit_epochs(num_epochs, max_steps, verbose, timer, tcfg,
+                             extra)
+        except KeyboardInterrupt:
+            # Always leave a resumable `last` behind (the reference needed a
+            # source rewriter, fix_ddp_cleanup.py, to get this guarantee).
+            print("[trainer] interrupted — saving last checkpoint")
+            self.ckpt.save("last", self.state, max(self.start_epoch, 0) - 1,
+                           self.best_val_loss, extra)
+            raise
+        if self.writer is not None:
+            self.writer.flush()
+        return self.best_val_loss
+
+    def _fit_epochs(self, num_epochs, max_steps, verbose, timer, tcfg, extra):
+        step_count = int(self.state.step)
         for epoch in range(self.start_epoch, num_epochs):
             self.train_loader.set_epoch(epoch)
             t0 = time.time()
@@ -222,6 +240,3 @@ class Trainer:
                 )
             if max_steps and step_count >= max_steps:
                 break
-        if self.writer is not None:
-            self.writer.flush()
-        return self.best_val_loss

@@ -194,3 +194,40 @@ def test_pipeline_multichip_mesh(trained):
     # bf16 matmuls reduce in different orders under sharding; tolerance is
     # bf16-noise-sized, far below any semantic difference.
     np.testing.assert_allclose(out1, out8, atol=1e-3)
+
+
+def test_exact_resume_reproduces_training(tmp_path):
+    """Bit-exact resume: train 4 epochs straight vs 2 epochs + restore +
+    2 more — final params must be identical (the reference's 'Perfect
+    Resume' contract, train_ddp_v3mod2.py:747-810, achieved here without
+    checkpointing host RNG: crops and step RNG are stateless functions of
+    (seed, epoch/step, idx))."""
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)
+    p4 = dataclasses.replace(
+        preset, train=dataclasses.replace(preset.train, num_epochs=4)
+    )
+
+    tr_full = Trainer(p4, data_dir=str(tmp_path / "data"),
+                      run_name="20000000", writer=False)
+    tr_full.writer = None
+    tr_full.fit(verbose=False)
+
+    p2 = dataclasses.replace(
+        preset, train=dataclasses.replace(preset.train, num_epochs=2)
+    )
+    tr_a = Trainer(p2, data_dir=str(tmp_path / "data"),
+                   run_name="30000000", writer=False)
+    tr_a.writer = None
+    tr_a.fit(verbose=False)
+    tr_b = Trainer(p4, data_dir=str(tmp_path / "data"),
+                   resume=str(Path(p4.train.save_dir_base) / "tiny" / "30000000"),
+                   writer=False)
+    tr_b.writer = None
+    assert tr_b.start_epoch == 2
+    tr_b.fit(verbose=False)
+
+    la = jax.tree_util.tree_leaves(tr_full.state.params)
+    lb = jax.tree_util.tree_leaves(tr_b.state.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
