@@ -229,9 +229,19 @@ class PreprocessPipeline:
             )[0]
         wins = self._window_song(audio)[..., None]  # [N, W, 1]
 
+        # Bucket the window count to the next power of two so XLA compiles
+        # one encode program per bucket, not one per distinct song length.
+        n_real = wins.shape[0]
+        bucket = max(4, 1 << (n_real - 1).bit_length())
+        if bucket != n_real:
+            wins = np.concatenate(
+                [wins, np.zeros((bucket - n_real,) + wins.shape[1:],
+                                wins.dtype)], axis=0
+            )
         z_hr, z_lr = self._encode_windows(self.codec.params,
                                           jnp.asarray(wins))
-        z_hr, z_lr = np.asarray(z_hr), np.asarray(z_lr)  # [N, F, C]
+        z_hr = np.asarray(z_hr)[:n_real]  # [N, F, C]
+        z_lr = np.asarray(z_lr)[:n_real]
 
         # Trim context frames, measured the way the reference measures it
         # (hop inferred from actual encode, prepare_dataset_v5.py:222-235).

@@ -1,0 +1,152 @@
+"""End-to-end quality evaluation of a trained run.
+
+Glues together what the reference does manually across infer_test_v3m2.py,
+calculate_metrics.py and plot_audio_spectrum.py: for N validation songs,
+generate HR latents from the LR condition, decode generated/GT/LR audio,
+compute LSD + Mel L1/L2 (+ multi-scale) against GT and against the
+LR-input baseline, write a JSON report and comparison spectrograms.
+
+Usage:
+    python tools/eval_run.py --run-dir checkpoints/v3mod2/<ts> \
+        --preset v3mod2 --data-dir data_processed \
+        [--dac-weights dac.pth] [--num-songs 4] [--steps 50]
+        [--cfg-scale 3.0] [--seconds 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-dir", required=True)
+    ap.add_argument("--checkpoint", default="best")
+    ap.add_argument("--preset", default="v3mod2")
+    ap.add_argument("--data-dir", required=True)
+    ap.add_argument("--dac-weights", default=None)
+    ap.add_argument("--num-songs", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--cfg-scale", type=float, default=3.0)
+    ap.add_argument("--seconds", type=float, default=16.0)
+    ap.add_argument("--output-dir", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    from jatsr_tpu.utils.runtime import select_platform
+
+    select_platform(args.platform)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.data import load_stats
+    from jatsr_tpu.infer import InferencePipeline
+    from jatsr_tpu.metrics import (
+        calculate_lsd,
+        calculate_mel_loss,
+        calculate_multi_scale_mel_loss,
+        grade_quality,
+    )
+    from jatsr_tpu.metrics.plots import plot_comparison
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.models.dac import DAC
+    from jatsr_tpu.train import create_train_state
+    from jatsr_tpu.train.checkpoint import CheckpointManager
+    from jatsr_tpu.train.step import Normalizer
+    from jatsr_tpu.utils import save_wav
+
+    preset = get_preset(args.preset)
+    model = DiT(preset.model)
+    C = preset.model.input_channels
+    dummy = jnp.zeros((1, 8, C), jnp.float32)
+    state = create_train_state(model, preset.train, 1, (dummy, dummy))
+    state, meta = CheckpointManager(args.run_dir).restore(args.checkpoint,
+                                                         state)
+    if args.dac_weights:
+        from jatsr_tpu.models.dac.convert import load_torch_checkpoint
+
+        codec = DAC(load_torch_checkpoint(args.dac_weights))
+    else:
+        print("[warn] RANDOM codec weights — quality numbers meaningless")
+        codec = DAC.random_init(0)
+
+    stats_path = Path(args.data_dir) / preset.data.stats_file
+    norm = Normalizer(*load_stats(str(stats_path)))
+    scfg = dataclasses.replace(preset.sampler, num_steps=args.steps,
+                               cfg_scale=args.cfg_scale)
+    pipe = InferencePipeline(model, state.params, norm, codec, scfg)
+
+    out_dir = Path(args.output_dir or Path(args.run_dir) / "eval")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    frames = int(args.seconds * 44100 / 512)
+
+    songs = sorted(Path(args.data_dir, "val").glob("*.hr.npy"))
+    songs = songs[: args.num_songs]
+    results = []
+    for hr_path in songs:
+        name = hr_path.name.replace(".hr.npy", "")
+        hr = np.load(hr_path).astype(np.float32)[:frames]
+        lr = np.load(str(hr_path).replace(".hr.npy", ".lr.npy")).astype(
+            np.float32
+        )[:frames]
+        gen = pipe.super_resolve_latent(lr, jax.random.PRNGKey(0),
+                                        args.steps, args.cfg_scale)
+        wav_gen = pipe.decode_latent(gen)
+        wav_gt = pipe.decode_latent(hr)
+        wav_lr = pipe.decode_latent(lr)
+
+        def metrics(a, b):
+            lsd, _ = calculate_lsd(a, b)
+            l1, l2, _, _ = calculate_mel_loss(a, b)
+            ms1, ms2, _ = calculate_multi_scale_mel_loss(a, b)
+            return dict(lsd=lsd, mel_l1=l1, mel_l2=l2, ms_mel_l1=ms1,
+                        ms_mel_l2=ms2)
+
+        m_gen = metrics(wav_gen, wav_gt)
+        m_lr = metrics(wav_lr, wav_gt)
+        results.append({
+            "song": name,
+            "generated_vs_gt": m_gen,
+            "lr_vs_gt_baseline": m_lr,
+            "grade": grade_quality(m_gen["lsd"], m_gen["mel_l1"]),
+        })
+        save_wav(out_dir / f"{name}_generated.wav", wav_gen, 44100)
+        plot_comparison(
+            [("generated", wav_gen), ("ground truth", wav_gt),
+             ("LR input", wav_lr)],
+            44100, out_dir / f"{name}_spectra.png",
+        )
+        print(f"[eval] {name}: LSD {m_gen['lsd']:.2f} dB "
+              f"(LR baseline {m_lr['lsd']:.2f}), "
+              f"Mel L1 {m_gen['mel_l1']:.2f} ({m_lr['mel_l1']:.2f})")
+
+    def avg(key1, key2):
+        return float(np.mean([r[key1][key2] for r in results]))
+
+    summary = {
+        "checkpoint": f"{args.run_dir}/{args.checkpoint}",
+        "step": meta["global_step"],
+        "num_songs": len(results),
+        "steps": args.steps,
+        "cfg_scale": args.cfg_scale,
+        "avg_generated": {k: avg("generated_vs_gt", k)
+                          for k in ("lsd", "mel_l1", "mel_l2")},
+        "avg_lr_baseline": {k: avg("lr_vs_gt_baseline", k)
+                            for k in ("lsd", "mel_l1", "mel_l2")},
+        "songs": results,
+    }
+    (out_dir / "report.json").write_text(json.dumps(summary, indent=2))
+    print(f"[eval] report: {out_dir}/report.json")
+
+
+if __name__ == "__main__":
+    main()
