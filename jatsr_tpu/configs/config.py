@@ -50,6 +50,9 @@ class ModelConfig:
     dropout: float = 0.1
     drop_path_rate: float = 0.05
     norm: str = "layer"  # "layer" (v2, ref jat_audiosr_v2.py:242) | "rms" (v3, ref jat_audiosr_v3.py:261)
+    # "rope" (v2+, ref jat_audiosr_v2.py:50) | "learned" (v1 legacy:
+    # learnable absolute positions, ref jat_audiosr.py:186-199).
+    pos_embed: str = "rope"
     rope_base: float = 10000.0
     rope_max_seq_len: int = 4096  # ref jat_audiosr_v2.py:53
     max_len: int = 2048  # max patch-sequence length (ref jat_audiosr_v2.py:338)

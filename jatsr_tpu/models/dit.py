@@ -111,8 +111,9 @@ class GQAttention(nn.Module):
         k = dense(Hkv * D, "k_proj")(x).reshape(B, N, Hkv, D)
         v = dense(Hkv * D, "v_proj")(x).reshape(B, N, Hkv, D)
 
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if cfg.pos_embed == "rope":
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         # Fused Pallas kernel on the deterministic path (inference/serving);
         # training keeps the XLA einsum (autodiff + attention dropout).
@@ -285,6 +286,17 @@ class DiT(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(cfg.hidden_size, dtype=dtype, param_dtype=pdtype,
                      name="patch_out", dot_general=dg)(h)
+
+        # v1 legacy: learnable absolute positional embedding added after the
+        # patch embed (ref jat_audiosr.py:186-199); RoPE is skipped inside
+        # attention in that mode.
+        if cfg.pos_embed == "learned":
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(stddev=0.02),
+                (cfg.max_len, cfg.hidden_size), jnp.dtype(cfg.param_dtype),
+            )
+            h = h + pos[None, :N, :].astype(dtype)
 
         # Time embedding MLP (fp32; jat_audiosr_v2.py:341-346).
         t_emb = sinusoidal_time_embedding(t, cfg.hidden_size)

@@ -117,3 +117,21 @@ def test_rope_tables_match_reference_formula():
     cos, sin = rope_cos_sin(n, dim)
     np.testing.assert_allclose(np.asarray(cos), np.cos(emb), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sin), np.sin(emb), atol=1e-6)
+
+
+def test_learned_pos_embed_v1_mode():
+    """v1 legacy mode: learnable absolute positions, no RoPE
+    (ref jat_audiosr.py:186-199)."""
+    cfg = ModelConfig(**{**TINY.__dict__, "pos_embed": "learned"})
+    model, params, (x, t, c) = _init(cfg)
+    assert "pos_embed" in params
+    assert params["pos_embed"].shape == (cfg.max_len, cfg.hidden_size)
+    out = model.apply({"params": params}, x, t, c)
+    assert out.shape == x.shape
+    # positions actually matter: rolling the input changes the output once
+    # params are perturbed away from zero-init
+    import jax as _jax
+    params2 = _jax.tree_util.tree_map(lambda p: p + 0.01, params)
+    o1 = model.apply({"params": params2}, x, t, c)
+    o2 = model.apply({"params": params2}, jnp.roll(x, 4, axis=1), t, c)
+    assert float(jnp.abs(o1 - o2).max()) > 1e-5
