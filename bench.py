@@ -42,6 +42,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from jatsr_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from jatsr_tpu.configs import SamplerConfig, get_preset
     from jatsr_tpu.models import DiT, count_params
     from jatsr_tpu.sampling import FlowSampler

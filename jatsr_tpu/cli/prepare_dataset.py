@@ -36,7 +36,7 @@ def main(argv=None):
 
     from ..configs import DataConfig
     from ..data import PreprocessPipeline
-    from ..models.dac import DAC, DACConfig, convert_torch_state_dict
+    from ..models.dac import DAC
 
     if args.dac_weights:
         from ..models.dac.convert import load_torch_checkpoint

@@ -20,11 +20,10 @@ import math
 import threading
 import queue as queue_mod
 from pathlib import Path
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 
-from ..configs import DataConfig
 
 
 def load_stats(path: str):

@@ -13,7 +13,6 @@ throughput lever toward the >=5x-real-time target (SURVEY.md §7 step 8).
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Tuple
 
 import jax

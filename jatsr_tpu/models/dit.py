@@ -26,7 +26,6 @@ jat_audiosr_v3.py:311-471) for JAX/XLA on TPU:
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ Parameters are annotated with ``NamedSharding``; XLA places the collectives.
 from __future__ import annotations
 
 import re
-from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -19,7 +19,6 @@ shards batches over ``data``; without one it runs single-device.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -31,7 +30,7 @@ import numpy as np
 from ..configs import Preset
 from ..data import BatchLoader, LatentDataset, ValidationDataset, load_stats
 from ..models import DiT, count_params
-from ..parallel import batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel import batch_sharding, param_shardings, replicated
 from ..parallel.mesh import opt_state_shardings
 from .checkpoint import CheckpointManager, find_latest_run, timestamp_run_name
 from .state import create_train_state

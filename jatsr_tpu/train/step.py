@@ -14,7 +14,7 @@ gradient reductions the reference got from DDP/NCCL.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,6 +15,7 @@ from typing import Optional
 
 
 def select_platform(platform: Optional[str] = None) -> Optional[str]:
+    enable_compilation_cache()
     platform = platform or os.environ.get("JATSR_PLATFORM")
     if not platform:
         return None
@@ -22,6 +23,18 @@ def select_platform(platform: Optional[str] = None) -> Optional[str]:
 
     jax.config.update("jax_platforms", platform)
     return platform
+
+
+def enable_compilation_cache(path: str = "/root/.cache/jatsr_jax_cache"):
+    """Persistent XLA compilation cache — first compiles through the TPU
+    tunnel take 10-25 min; cached reloads take seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without these flags
 
 
 def virtual_cpu_devices(n: int = 8) -> None:
