@@ -37,7 +37,22 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="dynamic W8A8 serving mode on the big projections")
     ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--deadline", type=int, default=2700,
+                    help="hard wall-clock limit in seconds (the TPU tunnel "
+                         "can wedge; better to die loudly than hang)")
     args = ap.parse_args()
+
+    if args.deadline:
+        import signal
+
+        def _timeout(signum, frame):
+            raise SystemExit(
+                f"bench deadline ({args.deadline}s) exceeded — TPU tunnel "
+                "likely wedged; retry"
+            )
+
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(args.deadline)
 
     import jax
     import jax.numpy as jnp

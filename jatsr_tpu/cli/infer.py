@@ -27,7 +27,9 @@ def main(argv=None):
     ap.add_argument("--torch-checkpoint", default=None,
                     help="a reference train_ddp_*.py .pt checkpoint to "
                          "convert and run directly")
-    ap.add_argument("--preset", default="v3mod2")
+    ap.add_argument("--preset", default=None,
+                    help="preset name; defaults to the run dir's preset.json "
+                         "when present, else v3mod2")
     ap.add_argument("--stats", required=True)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output-dir", default="inference_output")
@@ -56,7 +58,17 @@ def main(argv=None):
     from ..train.step import Normalizer
     from ..utils import load_wav, save_wav
 
-    preset = get_preset(args.preset)
+    if args.preset:
+        preset = get_preset(args.preset)
+    else:
+        pj = Path(args.run_dir or ".") / "preset.json"
+        if pj.exists():
+            from ..configs import Preset
+
+            preset = Preset.from_json(pj.read_text())
+            print(f"[infer] preset '{preset.name}' from {pj}")
+        else:
+            preset = get_preset("v3mod2")
     model = DiT(preset.model)
     C = preset.model.input_channels
 

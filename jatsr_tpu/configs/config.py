@@ -191,6 +191,24 @@ class Preset:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
+    @classmethod
+    def from_json(cls, s: str) -> "Preset":
+        """Rebuild a preset from ``to_json`` output (e.g. the ``preset.json``
+        every Trainer run dir carries — the reference's config-in-checkpoint,
+        train_ddp_v3mod2.py:1145)."""
+        d = json.loads(s)
+        return cls(
+            name=d["name"],
+            model=ModelConfig(**{**d["model"],
+                                 "rope_base": float(d["model"]["rope_base"])}),
+            loss=LossConfig(**{**d["loss"],
+                               "ms_scales": tuple(d["loss"]["ms_scales"])}),
+            train=TrainConfig(**{**d["train"],
+                                 "mesh_shape": tuple(d["train"]["mesh_shape"])}),
+            data=DataConfig(**d["data"]),
+            sampler=SamplerConfig(**d["sampler"]),
+        )
+
 
 def _mk(name, model_kw, loss_kw, train_kw) -> Preset:
     return Preset(

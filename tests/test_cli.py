@@ -74,3 +74,11 @@ def test_prepare_dataset_cli(tmp_path, capsys, monkeypatch):
     assert "'done': 1" in out
     assert (tmp_path / "out" / "train" / "a.hr.npy").exists()
     assert (tmp_path / "out" / "global_stats_separated.json").exists()
+
+
+def test_preset_json_roundtrip():
+    from jatsr_tpu.configs import Preset, get_preset
+
+    p = get_preset("v3mod2")
+    p2 = Preset.from_json(p.to_json())
+    assert p2 == p
