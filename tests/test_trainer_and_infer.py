@@ -231,3 +231,28 @@ def test_exact_resume_reproduces_training(tmp_path):
     lb = jax.tree_util.tree_leaves(tr_b.state.params)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_into_sharded_topology(trained):
+    """A checkpoint saved single-device restores into a mesh-sharded
+    trainer (cross-topology resume: single-host -> v5e-8 style)."""
+    from jatsr_tpu.parallel import make_mesh
+
+    tmp, preset, tr, _ = trained
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "11112222"
+    mesh = make_mesh(4, 2)
+    preset = dataclasses.replace(
+        preset, train=dataclasses.replace(preset.train, batch_size=4)
+    )  # batch must divide the data axis
+    tr8 = Trainer(preset, data_dir=str(tmp / "data"), mesh=mesh,
+                  resume=str(run_dir), writer=False)
+    tr8.writer = None
+    assert int(tr8.state.step) > 0
+    # params carry the TP shardings after restore
+    leaf = jax.tree_util.tree_leaves(tr8.state.params)[0]
+    assert not leaf.sharding.is_fully_replicated or leaf.ndim == 1
+    # and a step executes
+    hr, lr = next(iter(tr8.train_loader))
+    hr, lr = tr8._put_batch(hr, lr)
+    s2, m = tr8.train_step(tr8.state, hr, lr)
+    assert np.isfinite(float(m["loss"]))
