@@ -130,6 +130,10 @@ class TrainConfig:
 
     seed: int = 42
     batch_size: int = 28  # per data-parallel shard
+    # Micro-batching: split each batch into N sequential micro-steps with
+    # gradient accumulation (match the reference's total batch 56 on fewer
+    # chips / less HBM).  1 = off.
+    grad_accum_steps: int = 1
     lr: float = 5e-5
     weight_decay: float = 0.1
     warmup_steps: int = 1000

@@ -86,21 +86,47 @@ def make_train_step(
         noise = jax.random.normal(k_noise, hr_norm.shape, jnp.float32)
         z_t = flow_interpolate(hr_norm, noise, t)
 
-        def loss_fn(params):
+        def loss_fn(params, z_t_mb, t_mb, lr_mb, hr_mb, lr_orig_mb):
             pred = state.apply_fn(
                 {"params": params},
-                z_t,
-                t,
-                lr_norm,
+                z_t_mb,
+                t_mb,
+                lr_mb,
                 deterministic=False,
                 rngs={"dropout": k_drop},
             )
-            loss, metrics = total_training_loss(pred, hr_norm, lr_orig, loss_cfg)
+            loss, metrics = total_training_loss(pred, hr_mb, lr_orig_mb,
+                                                loss_cfg)
             return loss, (metrics, pred)
 
-        (loss, (metrics, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        A = train_cfg.grad_accum_steps
+        if A <= 1:
+            (loss, (metrics, pred)), grads = grad_fn(
+                state.params, z_t, t, lr_norm, hr_norm, lr_orig
+            )
+        else:
+            # Micro-batch accumulation under lax.scan: grads averaged, the
+            # last micro-batch's pred retained for diagnostics.
+            mb = B // A
+            assert mb * A == B, (B, A)
+            resh = lambda x: x.reshape((A, mb) + x.shape[1:])
+            stacked = tuple(map(resh, (z_t, t, lr_norm, hr_norm, lr_orig)))
+
+            def scan_body(carry, micro):
+                g_acc, l_acc = carry
+                (l, (m, p)), g = grad_fn(state.params, *micro)
+                g_acc = jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g)
+                return (g_acc, l_acc + l), (m, p)
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, l_sum), (ms, preds) = jax.lax.scan(
+                scan_body, (zero_g, jnp.float32(0.0)), stacked
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / A, g_sum)
+            loss = l_sum / A
+            metrics = jax.tree_util.tree_map(lambda x: x.mean(), ms)
+            pred = preds.reshape((B,) + preds.shape[2:])
 
         new_state = state.apply_gradients(grads)
 

@@ -159,3 +159,20 @@ def test_zero1_opt_state_sharding_matches():
         s_sh, m_sh = jstep(s_sh, hr_s, lr_s)
     np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
                                rtol=2e-4)
+
+
+def test_grad_accumulation_runs_and_converges():
+    """grad_accum_steps splits the batch into micro-steps; loss must still
+    fall on an overfit batch and metrics stay finite."""
+    state, step, (hr, lr), *_ = _setup(
+        {"condition_noise_ratio": 0.0, "lr": 3e-4, "warmup_steps": 10,
+         "grad_accum_steps": 2}
+    )
+    jstep = jax.jit(step, donate_argnums=(0,))
+    first = None
+    for _ in range(60):
+        state, m = jstep(state, hr, lr)
+        if first is None:
+            first = float(m["loss"])
+    assert np.isfinite(float(m["grad_norm"]))
+    assert float(m["loss"]) < 0.8 * first
