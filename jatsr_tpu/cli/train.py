@@ -31,6 +31,8 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--shard-opt-state", action="store_true",
                     help="ZeRO-1: shard Adam moments over the data axis")
+    ap.add_argument("--native-loader", action="store_true",
+                    help="use the C++ mmap/thread batch engine (native/)")
     ap.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace of the first N steps")
     ap.add_argument("--platform", default=None,
@@ -59,7 +61,7 @@ def main(argv=None):
         )
     mesh = make_mesh(*args.mesh) if args.mesh else None
     trainer = Trainer(preset, data_dir=args.data_dir, resume=args.resume,
-                      mesh=mesh)
+                      mesh=mesh, native_loader=args.native_loader)
     print(f"[train] preset={preset.name} params={trainer.n_params/1e6:.1f}M "
           f"steps/epoch={len(trainer.train_loader)} mesh={args.mesh}")
     if args.profile_steps:

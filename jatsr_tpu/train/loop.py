@@ -46,6 +46,7 @@ class Trainer:
         mesh=None,
         run_name: Optional[str] = None,
         writer=None,
+        native_loader: bool = False,
     ):
         self.preset = preset
         mcfg, tcfg, dcfg = preset.model, preset.train, preset.data
@@ -57,6 +58,7 @@ class Trainer:
             LatentDataset(data_dir, "train", target,
                           dcfg.samples_per_epoch_multiplier, seed=tcfg.seed),
             tcfg.batch_size, shuffle=True, seed=tcfg.seed,
+            native=native_loader,
         )
         self.val_loader = BatchLoader(
             ValidationDataset(data_dir, "val", target,
