@@ -173,6 +173,9 @@ class SamplerConfig:
 
     num_steps: int = 50
     cfg_scale: float = 1.0
+    # ODE solver: "euler" (reference parity) or "heun" (2nd order; 2 model
+    # evals/step — fewer steps for the same accuracy).
+    solver: str = "euler"
     t_jump_threshold: float = 0.999  # jump-to-x0 guard near t=1
     velocity_eps: float = 1e-5  # 1/(1-t+eps) guard
     # Chunked long-audio inference (ref infer_test_v3m2.py:339-362).

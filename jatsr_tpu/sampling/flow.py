@@ -75,17 +75,29 @@ class FlowSampler:
             return self.model_fn(z, t, c)
         return self.model_fn(params, z, t, c)
 
+    def _velocity(self, params, z, t, cond):
+        eps = self.cfg.velocity_eps
+        t_b = jnp.full((z.shape[0],), t, dtype=jnp.float32)
+        x_pred = self._model(params, z, t_b, cond).astype(z.dtype)
+        return (x_pred - z) / (1.0 - t + eps), x_pred
+
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _sample_nocfg(self, params, cond, z0, timesteps):
-        eps = self.cfg.velocity_eps
         jump = self.cfg.t_jump_threshold
+        heun = self.cfg.solver == "heun"
 
         def body(i, z):
             t_curr = timesteps[i]
-            dt = timesteps[i + 1] - t_curr
-            t_b = jnp.full((z.shape[0],), t_curr, dtype=jnp.float32)
-            x_pred = self._model(params, z, t_b, cond).astype(z.dtype)
-            v = (x_pred - z) / (1.0 - t_curr + eps)
+            t_next = timesteps[i + 1]
+            dt = t_next - t_curr
+            v1, x_pred = self._velocity(params, z, t_curr, cond)
+            if heun:
+                z_eul = z + v1 * dt
+                v2, _ = self._velocity(params, z_eul, t_next, cond)
+                # fall back to Euler for the final (t_next ~ 1) interval
+                v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
+            else:
+                v = v1
             return jnp.where(t_curr < jump, z + v * dt, x_pred)
 
         n = timesteps.shape[0] - 1
@@ -95,20 +107,30 @@ class FlowSampler:
     def _sample_cfg(self, params, cond, z0, timesteps, cfg_scale):
         eps = self.cfg.velocity_eps
         jump = self.cfg.t_jump_threshold
+        heun = self.cfg.solver == "heun"
         B = z0.shape[0]
         # Conditional half first, unconditional (zero) half second — one
         # forward on 2B per step (infer_test_v3m2.py:154-156).
         cond_full = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
-        def body(i, z):
-            t_curr = timesteps[i]
-            dt = timesteps[i + 1] - t_curr
+        def guided_velocity(z, t):
             z2 = jnp.concatenate([z, z], axis=0)
-            t_b = jnp.full((2 * B,), t_curr, dtype=jnp.float32)
+            t_b = jnp.full((2 * B,), t, dtype=jnp.float32)
             pred = self._model(params, z2, t_b, cond_full).astype(z.dtype)
             x_c, x_u = pred[:B], pred[B:]
             x_pred = x_u + cfg_scale * (x_c - x_u)
-            v = (x_pred - z) / (1.0 - t_curr + eps)
+            return (x_pred - z) / (1.0 - t + eps), x_pred
+
+        def body(i, z):
+            t_curr = timesteps[i]
+            t_next = timesteps[i + 1]
+            dt = t_next - t_curr
+            v1, x_pred = guided_velocity(z, t_curr)
+            if heun:
+                v2, _ = guided_velocity(z + v1 * dt, t_next)
+                v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
+            else:
+                v = v1
             return jnp.where(t_curr < jump, z + v * dt, x_pred)
 
         n = timesteps.shape[0] - 1
