@@ -31,3 +31,22 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package import)."""
+    _exports = {
+        "DiT": ("jatsr_tpu.models", "DiT"),
+        "DAC": ("jatsr_tpu.models.dac", "DAC"),
+        "FlowSampler": ("jatsr_tpu.sampling", "FlowSampler"),
+        "Trainer": ("jatsr_tpu.train.loop", "Trainer"),
+        "InferencePipeline": ("jatsr_tpu.infer", "InferencePipeline"),
+        "get_preset": ("jatsr_tpu.configs", "get_preset"),
+        "list_presets": ("jatsr_tpu.configs", "list_presets"),
+    }
+    if name in _exports:
+        import importlib
+
+        mod, attr = _exports[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'jatsr_tpu' has no attribute {name!r}")
