@@ -165,6 +165,10 @@ class TrainConfig:
     # ZeRO-1: shard optimizer moments over the data axis (all-gather at
     # update time is inserted by GSPMD).
     shard_opt_state: bool = False
+    # PRNG implementation: "rbg" is the TPU-native counter PRNG (~26%
+    # faster 766M train steps than threefry — dropout mask generation is a
+    # real cost); "threefry" for jax-default stream compatibility.
+    prng_impl: str = "rbg"
 
 
 @dataclass(frozen=True)

@@ -52,6 +52,10 @@ class Trainer:
         mcfg, tcfg, dcfg = preset.model, preset.train, preset.data
         data_dir = data_dir or dcfg.data_dir
 
+        from ..utils.runtime import select_prng_impl
+
+        select_prng_impl(tcfg.prng_impl)
+
         # Data.
         target = dcfg.target_frames
         self.train_loader = BatchLoader(

@@ -37,6 +37,18 @@ def enable_compilation_cache(path: str = "/root/.cache/jatsr_jax_cache"):
         pass  # older jax without these flags
 
 
+def select_prng_impl(impl: str = "rbg") -> None:
+    """Set jax's default PRNG. ``rbg`` generates dropout masks far faster
+    on TPU than the default threefry (measured: 766M train step 0.565 ->
+    0.418 s).  Must run before PRNG keys are created."""
+    import jax
+
+    try:
+        jax.config.update("jax_default_prng_impl", impl)
+    except Exception:
+        pass
+
+
 def virtual_cpu_devices(n: int = 8) -> None:
     """Request n virtual CPU devices (must run before jax backend init)."""
     flags = os.environ.get("XLA_FLAGS", "")

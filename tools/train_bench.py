@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--frames", type=int, default=1378)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--no-dropout", action="store_true")
     args = ap.parse_args()
 
     from jatsr_tpu.utils.runtime import select_platform
@@ -42,10 +43,17 @@ def main():
     from jatsr_tpu.train.step import Normalizer
 
     preset = get_preset(args.preset)
+    if args.no_dropout:
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(
+                preset.model, dropout=0.0, drop_path_rate=0.0))
     tcfg = dataclasses.replace(
         preset.train, batch_size=args.batch,
         adam_moments_dtype="bfloat16",  # fits 766M AdamW on one v5e chip
     )
+    from jatsr_tpu.utils.runtime import select_prng_impl
+
+    select_prng_impl(tcfg.prng_impl)
     model = DiT(preset.model)
     C = preset.model.input_channels
     rs = np.random.RandomState(0)
