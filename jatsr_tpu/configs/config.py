@@ -65,6 +65,11 @@ class ModelConfig:
     # Projection matmul precision: "bf16" (default) or "int8" (dynamic W8A8
     # on the big projections — serving mode; ~2x MXU rate on v5e).
     matmul_precision: str = "bf16"
+    # Backward rematerialisation policy per DiT block:
+    #   "full" — recompute everything (min HBM),
+    #   "dots" — save matmul outputs, recompute elementwise (faster bwd),
+    #   "none" — no remat (max HBM, fastest).
+    remat_policy: str = "full"
 
     @property
     def head_dim(self) -> int:

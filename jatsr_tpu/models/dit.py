@@ -314,9 +314,17 @@ class DiT(nn.Module):
         dpr = jnp.linspace(0.0, cfg.drop_path_rate, cfg.depth)
 
         # Scan the blocks: stacked params, single trace.  Blocks are
-        # rematerialised (recomputed in backward) — the standard TPU
-        # FLOPs-for-HBM trade; forward-only paths are unaffected.
-        block = nn.remat(DiTBlock, static_argnums=(6,))  # 6 = deterministic (incl. self)
+        # rematerialised per the configured policy (FLOPs-for-HBM trade;
+        # forward-only paths are unaffected).
+        if cfg.remat_policy == "none":
+            block = DiTBlock
+        else:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if cfg.remat_policy == "dots"
+                else None  # None = nothing saveable (full recompute)
+            )
+            block = nn.remat(DiTBlock, static_argnums=(6,), policy=policy)
         ScannedBlocks = nn.scan(
             block,
             variable_axes={"params": 0},

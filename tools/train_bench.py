@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-dropout", action="store_true")
+    ap.add_argument("--remat", default=None, choices=["full", "dots", "none"])
     args = ap.parse_args()
 
     from jatsr_tpu.utils.runtime import select_platform
@@ -43,6 +44,10 @@ def main():
     from jatsr_tpu.train.step import Normalizer
 
     preset = get_preset(args.preset)
+    if args.remat:
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(
+                preset.model, remat_policy=args.remat))
     if args.no_dropout:
         preset = dataclasses.replace(
             preset, model=dataclasses.replace(
