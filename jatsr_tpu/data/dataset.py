@@ -160,7 +160,11 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, prefetch: int = 2,
-                 native: bool = False, native_threads: int = 4):
+                 native: bool = False, native_threads: int = 4,
+                 transform=None):
+        """``transform(hr, lr) -> (hr, lr)`` runs on the prefetch thread —
+        pass a device_put there so host->device transfers overlap device
+        compute (the torch DataLoader's pin_memory+non_blocking analogue)."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -168,6 +172,7 @@ class BatchLoader:
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.transform = transform
         self._native_store = None
         if native:
             from .native_loader import NativeLatentStore, is_available
@@ -203,12 +208,15 @@ class BatchLoader:
             plans = [self.ds.sample_plan(int(i)) for i in batch_idx]
             file_idx = np.asarray([p[0] for p in plans], np.int64)
             starts = np.asarray([p[1] for p in plans], np.int64)
-            return self._native_store.fill_batch(
+            hr, lr = self._native_store.fill_batch(
                 file_idx, starts, self.ds.target
             )
-        samples = [self.ds[int(i)] for i in batch_idx]
-        hr = np.stack([s[0] for s in samples])
-        lr = np.stack([s[1] for s in samples])
+        else:
+            samples = [self.ds[int(i)] for i in batch_idx]
+            hr = np.stack([s[0] for s in samples])
+            lr = np.stack([s[1] for s in samples])
+        if self.transform is not None:
+            hr, lr = self.transform(hr, lr)
         return hr, lr
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

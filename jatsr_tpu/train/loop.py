@@ -115,6 +115,12 @@ class Trainer:
         )
         self.eval_step = jax.jit(make_eval_step(preset.loss, self.normalizer))
 
+        # Host->device transfers happen on the loader's prefetch thread so
+        # they overlap device compute (_put_batch is idempotent, so the
+        # fit-loop call on already-transferred arrays is a no-op).
+        self.train_loader.transform = self._put_batch
+        self.val_loader.transform = self._put_batch
+
         # Run dir / resume (ref train_ddp_v3mod2.py:616-660).
         base = Path(tcfg.save_dir_base) / preset.name
         self.start_epoch = 0
