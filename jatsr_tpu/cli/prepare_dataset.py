@@ -24,6 +24,9 @@ def main(argv=None):
     ap.add_argument("--val-ratio", type=float, default=0.1)
     ap.add_argument("--chunk-duration", type=float, default=7.0)
     ap.add_argument("--overlap-duration", type=float, default=0.5)
+    ap.add_argument("--num-shards", type=int, default=1,
+                    help="partition the file list across hosts")
+    ap.add_argument("--shard-index", type=int, default=0)
     ap.add_argument("--platform", default=None,
                 help="force jax platform (cpu/tpu)")
     args = ap.parse_args(argv)
@@ -55,7 +58,8 @@ def main(argv=None):
         overlap_duration=args.overlap_duration,
     )
     pipe = PreprocessPipeline(codec, cfg, args.output_dir)
-    counts = pipe.run(args.source_dirs)
+    counts = pipe.run(args.source_dirs, num_shards=args.num_shards,
+                      shard_index=args.shard_index)
     print(f"[prepare_dataset] {counts}")
 
 

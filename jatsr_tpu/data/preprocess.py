@@ -274,7 +274,13 @@ class PreprocessPipeline:
     # -- driver -------------------------------------------------------------
 
     def run(self, source_dirs: Sequence[str], stats_interval: int = 50,
-            verbose: bool = True) -> Dict:
+            verbose: bool = True, num_shards: int = 1,
+            shard_index: int = 0) -> Dict:
+        """``num_shards``/``shard_index`` partition the task list for
+        multi-host preprocessing (the reference's one-worker-per-GPU pool,
+        prepare_dataset_v5.py:326-341, scaled across machines; each host
+        keeps its own jsonl log and running stats, merged by
+        ``compute_separated_stats`` afterwards)."""
         c = self.cfg
         train_files, val_files = scan_and_split(
             source_dirs, c.val_ratio, c.split_seed
@@ -282,6 +288,8 @@ class PreprocessPipeline:
         tasks = [(f, "train") for f in train_files] + [
             (f, "val") for f in val_files
         ]
+        if num_shards > 1:
+            tasks = tasks[shard_index::num_shards]
         done = self.processed_set()
         todo = [t for t in tasks if t[0] not in done]
         counts = {"done": 0, "skipped": 0, "error": 0}

@@ -135,3 +135,25 @@ def test_batch_loader(pipeline_out):
     assert not all(
         np.array_equal(a[0], b[0]) for a, b in zip(batches, batches2)
     )
+
+
+def test_sharded_preprocessing_covers_all(tmp_path):
+    """Multi-host sharding: two shard runs into separate dirs together
+    process every file exactly once."""
+    src = tmp_path / "src"
+    _make_wavs(src, n=4)
+    outs = []
+    for idx in range(2):
+        out = tmp_path / f"out{idx}"
+        codec = DAC.random_init(0, CODEC_CFG)
+        pipe = PreprocessPipeline(codec, DATA_CFG, str(out))
+        counts = pipe.run([str(src)], verbose=False, num_shards=2,
+                          shard_index=idx)
+        outs.append((out, counts))
+    done = sum(c["done"] + c["skipped"] for _, c in outs)
+    assert done == 5  # 4 songs + 1 skipped short file
+    names = set()
+    for out, _ in outs:
+        for split in ("train", "val"):
+            names |= {p.name for p in (out / split).glob("*.hr.npy")}
+    assert len(names) == 4
