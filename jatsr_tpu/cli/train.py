@@ -33,6 +33,9 @@ def main(argv=None):
                     help="ZeRO-1: shard Adam moments over the data axis")
     ap.add_argument("--native-loader", action="store_true",
                     help="use the C++ mmap/thread batch engine (native/)")
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--warmup-steps", type=int, default=None)
+    ap.add_argument("--grad-accum", type=int, default=None)
     ap.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace of the first N steps")
     ap.add_argument("--platform", default=None,
@@ -55,6 +58,12 @@ def main(argv=None):
         train_over["batch_size"] = args.batch_size
     if args.shard_opt_state:
         train_over["shard_opt_state"] = True
+    if args.lr is not None:
+        train_over["lr"] = args.lr
+    if args.warmup_steps is not None:
+        train_over["warmup_steps"] = args.warmup_steps
+    if args.grad_accum is not None:
+        train_over["grad_accum_steps"] = args.grad_accum
     if train_over:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, **train_over)

@@ -157,3 +157,15 @@ def test_sharded_preprocessing_covers_all(tmp_path):
         for split in ("train", "val"):
             names |= {p.name for p in (out / split).glob("*.hr.npy")}
     assert len(names) == 4
+
+
+def test_batch_loader_keep_last(pipeline_out):
+    out, _, _ = pipeline_out
+    ds = LatentDataset(str(out), "train", target_frames=16, multiplier=3)
+    n = len(ds)
+    loader = BatchLoader(ds, batch_size=4, drop_last=False, shuffle=False,
+                         prefetch=0)
+    batches = list(loader)
+    assert sum(b[0].shape[0] for b in batches) == n
+    if n % 4:
+        assert batches[-1][0].shape[0] == n % 4

@@ -99,3 +99,14 @@ def test_heun_solver_oracle_and_accuracy():
     err_e = float(jnp.abs(few_euler - dense).mean())
     err_h = float(jnp.abs(few_heun - dense).mean())
     assert err_h < err_e, (err_h, err_e)
+
+
+def test_sampler_deterministic_per_key():
+    f = lambda z, t, c: 0.3 * c + 0.2 * z
+    cond = jnp.asarray(np.random.RandomState(4).randn(1, 8, 4), jnp.float32)
+    s = FlowSampler(f, SamplerConfig(num_steps=6))
+    a = s(jax.random.PRNGKey(5), cond)
+    b = s(jax.random.PRNGKey(5), cond)
+    c2 = s(jax.random.PRNGKey(6), cond)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c2))

@@ -176,3 +176,12 @@ def test_grad_accumulation_runs_and_converges():
             first = float(m["loss"])
     assert np.isfinite(float(m["grad_norm"]))
     assert float(m["loss"]) < 0.8 * first
+
+
+def test_normalizer_roundtrip():
+    rs = np.random.RandomState(0)
+    mu, sd = rs.randn(C), np.abs(rs.randn(C)) + 0.5
+    norm = Normalizer(mu, sd, mu, sd)
+    x = jnp.asarray(rs.randn(2, 5, C), jnp.float32)
+    back = norm.denorm_hr(norm.norm_hr(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
