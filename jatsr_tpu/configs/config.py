@@ -157,6 +157,9 @@ class TrainConfig:
     save_dir_base: str = "checkpoints"
     log_dir_base: str = "runs"
     save_interval_steps: int = 1000
+    # Keep only the newest N interval checkpoints (0 = keep all; the
+    # reference accumulates interval_step_*.pt without bound).
+    keep_interval_checkpoints: int = 3
     log_interval_steps: int = 10
 
     # Parallelism: data-parallel shards x tensor-parallel shards.

@@ -92,3 +92,21 @@ class CheckpointManager:
 
     def has(self, name: str) -> bool:
         return (self.run_dir / name).exists()
+
+    def prune_intervals(self, keep: int):
+        """Remove all but the newest ``keep`` interval checkpoints."""
+        if keep <= 0:
+            return
+        import re
+        import shutil
+
+        intervals = []
+        for d in self.run_dir.iterdir():
+            m = re.fullmatch(r"interval_(\d+)", d.name)
+            if m and d.is_dir():
+                intervals.append((int(m.group(1)), d))
+        for _, d in sorted(intervals)[:-keep]:
+            shutil.rmtree(d, ignore_errors=True)
+            meta = Path(str(d) + ".meta.json")
+            if meta.exists():
+                meta.unlink()

@@ -231,6 +231,7 @@ class Trainer:
                         and step_count % tcfg.save_interval_steps == 0):
                     self.ckpt.save(f"interval_{step_count}", self.state,
                                    epoch, self.best_val_loss, extra)
+                    self.ckpt.prune_intervals(tcfg.keep_interval_checkpoints)
                 if max_steps and step_count >= max_steps:
                     break
 

@@ -256,3 +256,25 @@ def test_restore_into_sharded_topology(trained):
     hr, lr = tr8._put_batch(hr, lr)
     s2, m = tr8.train_step(tr8.state, hr, lr)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_interval_checkpoints_pruned(tmp_path):
+    """interval_<step> checkpoints are capped at keep_interval_checkpoints."""
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)
+    preset = dataclasses.replace(
+        preset, train=dataclasses.replace(
+            preset.train, save_interval_steps=1, num_epochs=1,
+            keep_interval_checkpoints=2,
+        )
+    )
+    tr = Trainer(preset, data_dir=str(tmp_path / "data"),
+                 run_name="44444444", writer=False)
+    tr.writer = None
+    tr.fit(verbose=False)
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "44444444"
+    intervals = sorted(d.name for d in run_dir.iterdir()
+                       if d.name.startswith("interval_") and d.is_dir())
+    assert len(intervals) == 2
+    steps = len(tr.train_loader)
+    assert intervals == [f"interval_{steps - 1}", f"interval_{steps}"]
