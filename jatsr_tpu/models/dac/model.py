@@ -271,3 +271,9 @@ class DAC:
     def decode(self, z: jax.Array) -> jax.Array:
         """[B, T, latent] -> [B, T*hop, 1]."""
         return self._decode(self.params, z)
+
+    def decode_from_codes(self, codes: jax.Array) -> jax.Array:
+        """[B, T, n_codebooks] int codes -> [B, T*hop, 1] (discrete-token
+        storage path: ~18x smaller than the fp16 continuous latents)."""
+        z = decode_codes(self.params, codes, self.cfg)
+        return self._decode(self.params, z)

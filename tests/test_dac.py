@@ -225,3 +225,14 @@ def test_nonmultiple_length_padding():
     codec = DAC.random_init(0, SMALL)  # hop = 8
     z, _ = codec.encode(jnp.zeros((1, 21, 1)))
     assert z.shape[1] == 3  # ceil(21/8)
+
+
+def test_decode_from_codes(pair):
+    _, jmodel = pair
+    audio = jnp.asarray(
+        np.random.RandomState(3).randn(1, 128, 1).astype(np.float32) * 0.2
+    )
+    z_q, codes = jmodel.encode(audio)
+    a = np.asarray(jmodel.decode(z_q))
+    b = np.asarray(jmodel.decode_from_codes(codes))
+    np.testing.assert_allclose(a, b, atol=1e-5)
