@@ -60,7 +60,15 @@ def create_train_state(
     sample_batch,
     seed: Optional[int] = None,
 ) -> TrainState:
-    """Initialise params + optimizer from a (hr, lr) sample batch [B, T, C]."""
+    """Initialise params + optimizer from a (hr, lr) sample batch [B, T, C].
+
+    Applies ``cfg.prng_impl`` first: the PRNG key's shape is part of the
+    checkpointed state (rbg keys are uint32[4], threefry uint32[2]), so a
+    restore template must be built under the same implementation.
+    """
+    from ..utils.runtime import select_prng_impl
+
+    select_prng_impl(cfg.prng_impl)
     seed = cfg.seed if seed is None else seed
     key = jax.random.PRNGKey(seed)
     init_key, state_key = jax.random.split(key)

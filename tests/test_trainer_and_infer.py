@@ -278,3 +278,20 @@ def test_interval_checkpoints_pruned(tmp_path):
     assert len(intervals) == 2
     steps = len(tr.train_loader)
     assert intervals == [f"interval_{steps - 1}", f"interval_{steps}"]
+
+
+def test_restore_template_prng_shape_matches(trained):
+    """Regression: checkpoints store the PRNG key (rbg = uint32[4]); a
+    restore template built via create_train_state must come out under the
+    same PRNG impl or orbax fails with a shape mismatch."""
+    import jax.numpy as jnp
+    from jatsr_tpu.train import create_train_state
+
+    tmp, preset, tr, _ = trained
+    dummy = jnp.zeros((1, 8, C), jnp.float32)
+    template = create_train_state(DiT(preset.model), preset.train, 1,
+                                  (dummy, dummy))
+    assert template.rng.shape == tr.state.rng.shape
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "11112222"
+    restored, _ = CheckpointManager(run_dir).restore("last", template)
+    assert restored.rng.shape == tr.state.rng.shape
