@@ -80,7 +80,38 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, _state_pytree(template)
         )
-        restored = self._ckptr.restore(path, abstract)
+        try:
+            restored = self._ckptr.restore(path, abstract)
+        except ValueError:
+            # PRNG impl changed since the checkpoint was written (threefry
+            # keys are uint32[2], rbg uint32[4]).  Restore with the stored
+            # key shape, then re-key under the current impl by folding the
+            # stored bits in — weights/optimizer resume exactly; only the
+            # future noise stream differs.
+            import numpy as _np
+
+            restored = None
+            for alt in ((2,), (4,)):
+                if alt == tuple(template.rng.shape):
+                    continue
+                abstract2 = dict(abstract)
+                abstract2["rng"] = jax.ShapeDtypeStruct(
+                    alt, template.rng.dtype
+                )
+                try:
+                    restored = self._ckptr.restore(path, abstract2)
+                    break
+                except ValueError:
+                    continue
+            if restored is None:
+                raise
+            bits = int(_np.asarray(restored["rng"]).astype(_np.uint64).sum())
+            impl = "rbg" if tuple(template.rng.shape) == (4,) else "threefry2x32"
+            restored["rng"] = jax.random.PRNGKey(
+                bits % (2**31 - 1), impl=impl
+            )
+            print("[checkpoint] warning: PRNG impl changed since this "
+                  "checkpoint was written; re-keyed (noise stream differs)")
         meta = json.loads((self.run_dir / f"{name}.meta.json").read_text())
         state = template.replace(
             step=restored["step"],

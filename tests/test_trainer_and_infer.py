@@ -295,3 +295,30 @@ def test_restore_template_prng_shape_matches(trained):
     run_dir = Path(preset.train.save_dir_base) / "tiny" / "11112222"
     restored, _ = CheckpointManager(run_dir).restore("last", template)
     assert restored.rng.shape == tr.state.rng.shape
+
+
+def test_restore_legacy_prng_checkpoint(tmp_path):
+    """A checkpoint written under a different PRNG impl restores with a
+    re-keyed rng (weights exact, warning printed) instead of failing."""
+    import jax.numpy as jnp
+    from jatsr_tpu.train import create_train_state
+
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)
+    tr = Trainer(preset, data_dir=str(tmp_path / "data"),
+                 run_name="55555555", writer=False)
+    tr.writer = None
+    tr.fit(num_epochs=1, verbose=False)
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "55555555"
+
+    # fabricate a template under the OTHER impl by swapping the key array
+    template = tr.state
+    other = (jnp.zeros((2,), jnp.uint32) if template.rng.shape[0] == 4
+             else jnp.zeros((4,), jnp.uint32))
+    mismatched = template.replace(rng=other)
+    restored, _ = CheckpointManager(run_dir).restore("last", mismatched)
+    assert restored.rng.shape == other.shape  # re-keyed under template impl
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]),
+    )
