@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--warmup-steps", type=int, default=None)
     ap.add_argument("--grad-accum", type=int, default=None)
+    ap.add_argument("--cfg-dropout", type=float, default=None,
+                    help="sample-level condition dropout (CFG training)")
+    ap.add_argument("--run-name", default=None,
+                    help="run dir name (default: MMDDHHMM timestamp)")
     ap.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace of the first N steps")
     ap.add_argument("--platform", default=None,
@@ -64,13 +68,16 @@ def main(argv=None):
         train_over["warmup_steps"] = args.warmup_steps
     if args.grad_accum is not None:
         train_over["grad_accum_steps"] = args.grad_accum
+    if args.cfg_dropout is not None:
+        train_over["cfg_dropout_prob"] = args.cfg_dropout
     if train_over:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, **train_over)
         )
     mesh = make_mesh(*args.mesh) if args.mesh else None
     trainer = Trainer(preset, data_dir=args.data_dir, resume=args.resume,
-                      mesh=mesh, native_loader=args.native_loader)
+                      mesh=mesh, native_loader=args.native_loader,
+                      run_name=args.run_name)
     print(f"[train] preset={preset.name} params={trainer.n_params/1e6:.1f}M "
           f"steps/epoch={len(trainer.train_loader)} mesh={args.mesh}")
     if args.profile_steps:
