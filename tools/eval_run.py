@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--num-songs", type=int, default=4)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cfg-scale", type=float, default=3.0)
+    ap.add_argument("--cfg-sweep", type=float, nargs="*", default=None,
+                    help="evaluate several CFG scales (overrides --cfg-scale)")
     ap.add_argument("--seconds", type=float, default=16.0)
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--platform", default=None)
@@ -91,6 +93,7 @@ def main():
 
     songs = sorted(Path(args.data_dir, "val").glob("*.hr.npy"))
     songs = songs[: args.num_songs]
+    scales = args.cfg_sweep if args.cfg_sweep else [args.cfg_scale]
     results = []
     for hr_path in songs:
         name = hr_path.name.replace(".hr.npy", "")
@@ -98,8 +101,13 @@ def main():
         lr = np.load(str(hr_path).replace(".hr.npy", ".lr.npy")).astype(
             np.float32
         )[:frames]
+        per_scale = {}
+        for s in scales[1:]:
+            g = pipe.super_resolve_latent(lr, jax.random.PRNGKey(0),
+                                          args.steps, s)
+            per_scale[f"cfg_{s}"] = g
         gen = pipe.super_resolve_latent(lr, jax.random.PRNGKey(0),
-                                        args.steps, args.cfg_scale)
+                                        args.steps, scales[0])
         wav_gen = pipe.decode_latent(gen)
         wav_gt = pipe.decode_latent(hr)
         wav_lr = pipe.decode_latent(lr)
@@ -113,12 +121,18 @@ def main():
 
         m_gen = metrics(wav_gen, wav_gt)
         m_lr = metrics(wav_lr, wav_gt)
-        results.append({
+        entry = {
             "song": name,
+            "cfg_scale": scales[0],
             "generated_vs_gt": m_gen,
             "lr_vs_gt_baseline": m_lr,
             "grade": grade_quality(m_gen["lsd"], m_gen["mel_l1"]),
-        })
+        }
+        for key, g in per_scale.items():
+            entry[key] = metrics(pipe.decode_latent(g), wav_gt)
+            print(f"[eval]   {name} {key}: LSD {entry[key]['lsd']:.2f} dB, "
+                  f"Mel L1 {entry[key]['mel_l1']:.2f}")
+        results.append(entry)
         save_wav(out_dir / f"{name}_generated.wav", wav_gen, 44100)
         plot_comparison(
             [("generated", wav_gen), ("ground truth", wav_gt),
