@@ -88,6 +88,13 @@ class Trainer:
         # Placement.
         self.mesh = mesh
         if mesh is not None:
+            data_size = mesh.shape["data"]
+            if tcfg.batch_size % data_size:
+                raise ValueError(
+                    f"batch_size {tcfg.batch_size} must be divisible by the "
+                    f"data-parallel axis ({data_size}) — pass --batch-size "
+                    f"accordingly"
+                )
             rep = replicated(mesh)
             self.state = self.state.replace(
                 params=jax.device_put(

@@ -322,3 +322,13 @@ def test_restore_legacy_prng_checkpoint(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]),
     )
+
+
+def test_mesh_batch_divisibility_guard(tmp_path):
+    from jatsr_tpu.parallel import make_mesh
+
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)  # batch_size 2, data axis 4
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(preset, data_dir=str(tmp_path / "data"), mesh=make_mesh(4, 2),
+                run_name="66666666", writer=False)
