@@ -110,3 +110,28 @@ def test_sampler_deterministic_per_key():
     c2 = s(jax.random.PRNGKey(6), cond)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c2))
+
+
+def test_int8_sampler_path():
+    """int8 serving model inside the jitted ODE loop: finite outputs close
+    to the bf16 path (weight quantisation is loop-invariant and hoisted)."""
+    import dataclasses
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+
+    base = get_preset("tiny").model
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (1, 24, base.input_channels))
+    outs = {}
+    for prec in ("bf16", "int8"):
+        cfg = dataclasses.replace(base, dropout=0.0, matmul_precision=prec)
+        model = DiT(cfg)
+        params = model.init({"params": key, "dropout": key}, cond,
+                            jnp.zeros((1,)), cond)["params"]
+        params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+        s = FlowSampler(lambda p, z, t, c: model.apply({"params": p}, z, t, c),
+                        SamplerConfig(num_steps=6), params=params)
+        outs[prec] = np.asarray(s(jax.random.PRNGKey(1), cond))
+    assert np.isfinite(outs["int8"]).all()
+    denom = np.abs(outs["bf16"]).mean() + 1e-6
+    assert np.abs(outs["int8"] - outs["bf16"]).mean() / denom < 0.2
