@@ -131,10 +131,15 @@ class InferencePipeline:
         plan = chunk_plan(T, self.chunk_frames, self.overlap_frames)
         CF = self.chunk_frames
 
+        # Normalize FIRST, then zero-pad the short tail chunk: zeros in
+        # normalized space are exactly the trained CFG null token, whereas
+        # zero-padding raw latents would normalize to (0-mean)/std — an
+        # out-of-distribution condition the whole chunk attends to.
+        lat_n = np.asarray(self.norm.norm_lr(lr_latent[None]))[0]
         batch = np.zeros((len(plan), CF, lr_latent.shape[1]), np.float32)
         for i, (s, e) in enumerate(plan):
-            batch[i, : e - s] = lr_latent[s:e]
-        cond = jnp.asarray(self.norm.norm_lr(batch))
+            batch[i, : e - s] = lat_n[s:e]
+        cond = jnp.asarray(batch)
 
         groups = (
             [cond]

@@ -43,7 +43,10 @@ def find_latest_run(base_dir: str) -> Optional[Path]:
     for run in runs:
         if (run / "last").exists():
             return run
-    return runs[0] if runs else None
+    # No run has a resumable `last` (e.g. all crashed before the first
+    # save): let the caller create a fresh run dir rather than silently
+    # mixing new checkpoints into an old one.
+    return None
 
 
 def _state_pytree(state: TrainState) -> Dict[str, Any]:

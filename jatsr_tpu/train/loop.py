@@ -178,18 +178,23 @@ class Trainer:
             self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
 
     def validate(self) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
-        losses = []
-        n = 0
+        # Metrics stay on device per batch; ONE host pull at the end (a
+        # float() per metric per batch would serialise validation on a mesh).
+        device_metrics = []
         rng = jax.random.PRNGKey(1234)
         for i, (hr, lr) in enumerate(self.val_loader):
             hr, lr = self._put_batch(hr, lr)
-            m = self.eval_step(self.state, hr, lr, jax.random.fold_in(rng, i))
+            device_metrics.append(
+                self.eval_step(self.state, hr, lr, jax.random.fold_in(rng, i))
+            )
+        pulled = jax.device_get(device_metrics)
+        n = len(pulled)
+        sums: Dict[str, float] = {}
+        for m in pulled:
             for k, v in m.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            losses.append(float(m["loss"]))
-            n += 1
         out = {k: v / max(n, 1) for k, v in sums.items()}
+        losses = [float(m["loss"]) for m in pulled]
         out["loss_std"] = float(np.std(losses)) if len(losses) > 1 else 0.0
         return out
 
@@ -199,17 +204,36 @@ class Trainer:
         num_epochs = num_epochs or tcfg.num_epochs
         extra = {"preset": self.preset.name}
 
+        # The warmup-cosine horizon must match the *effective* run length:
+        # the optimizer was built from preset.train.num_epochs, but
+        # fit(num_epochs=...) / --epochs can override it (e.g. --epochs 50
+        # on a 300-epoch preset would otherwise decay only 1/6 of the
+        # cosine).  tx is a non-pytree field, so swapping it retraces the
+        # step but leaves opt_state (restored on resume) intact.
+        effective_total = len(self.train_loader) * num_epochs
+        if effective_total != self.total_steps:
+            from .state import make_optimizer
+
+            self.total_steps = effective_total
+            self.state = self.state.replace(
+                tx=make_optimizer(tcfg, effective_total)
+            )
+
         from ..utils.profiling import StepTimer
 
         timer = StepTimer()
+        self._last_completed_epoch = self.start_epoch - 1
         try:
             self._fit_epochs(num_epochs, max_steps, verbose, timer, tcfg,
                              extra)
         except KeyboardInterrupt:
             # Always leave a resumable `last` behind (the reference needed a
             # source rewriter, fix_ddp_cleanup.py, to get this guarantee).
+            # Epoch bookkeeping: save the last *completed* epoch so resume
+            # continues from the interrupted one rather than replaying every
+            # epoch since start.
             print("[trainer] interrupted — saving last checkpoint")
-            self.ckpt.save("last", self.state, max(self.start_epoch, 0) - 1,
+            self.ckpt.save("last", self.state, self._last_completed_epoch,
                            self.best_val_loss, extra)
             raise
         if self.writer is not None:
@@ -227,9 +251,11 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, hr, lr)
                 step_count += 1
                 epoch_batches += 1
+                # Lazy device-scalar accumulation: no host sync until the
+                # end-of-epoch float().
+                epoch_loss = epoch_loss + metrics["loss"]
                 if step_count % tcfg.log_interval_steps == 0:
                     vals = {k: float(v) for k, v in metrics.items()}
-                    epoch_loss += vals["loss"]
                     timer.tick()  # blocks here only (metrics were pulled)
                     vals["steps_per_sec"] = timer.steps_per_sec() \
                         * tcfg.log_interval_steps
@@ -242,8 +268,11 @@ class Trainer:
                 if max_steps and step_count >= max_steps:
                     break
 
+            self._last_completed_epoch = epoch
             self.ckpt.save("last", self.state, epoch, self.best_val_loss,
                            extra)
+            mean_train_loss = float(epoch_loss) / max(epoch_batches, 1)
+            self._log({"EpochLoss": mean_train_loss}, epoch, "Train")
             val = self.validate()
             self._log(val, epoch, "Val")
             if val["loss"] < self.best_val_loss:
@@ -253,7 +282,8 @@ class Trainer:
             if verbose:
                 print(
                     f"[epoch {epoch}] {epoch_batches} steps in "
-                    f"{time.time() - t0:.1f}s | val loss "
+                    f"{time.time() - t0:.1f}s | train loss "
+                    f"{mean_train_loss:.5f} | val loss "
                     f"{val['loss']:.5f} ± {val['loss_std']:.5f} "
                     f"(best {self.best_val_loss:.5f})"
                 )

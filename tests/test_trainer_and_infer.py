@@ -324,6 +324,88 @@ def test_restore_legacy_prng_checkpoint(tmp_path):
     )
 
 
+def test_interrupt_saves_current_epoch(tmp_path):
+    """An interrupt mid-epoch-2 must save `last` with epoch=1 (the last
+    *completed* epoch) so resume continues at epoch 2 — not with
+    start_epoch-1, which would replay every epoch of the session."""
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)
+    p4 = dataclasses.replace(
+        preset, train=dataclasses.replace(preset.train, num_epochs=4)
+    )
+    tr = Trainer(p4, data_dir=str(tmp_path / "data"), run_name="77777777",
+                 writer=False)
+    tr.writer = None
+    steps_per_epoch = len(tr.train_loader)
+    orig = tr.train_step
+    calls = [0]
+
+    def interrupting_step(state, hr, lr):
+        calls[0] += 1
+        if calls[0] == 2 * steps_per_epoch + 2:  # mid-epoch 2 (0-indexed)
+            raise KeyboardInterrupt
+        return orig(state, hr, lr)
+
+    tr.train_step = interrupting_step
+    with pytest.raises(KeyboardInterrupt):
+        tr.fit(verbose=False)
+    run_dir = Path(p4.train.save_dir_base) / "tiny" / "77777777"
+    meta = json.loads((run_dir / "last.meta.json").read_text())
+    assert meta["epoch"] == 1  # epochs 0 and 1 completed
+    tr2 = Trainer(p4, data_dir=str(tmp_path / "data"), resume=str(run_dir),
+                  writer=False)
+    tr2.writer = None
+    assert tr2.start_epoch == 2
+
+
+def test_find_latest_run_skips_runs_without_last(tmp_path):
+    """No run containing a `last` checkpoint -> None (fresh run dir), not a
+    stale crashed-before-first-save dir."""
+    base = tmp_path / "base"
+    (base / "12345678").mkdir(parents=True)  # run dir, no `last`
+    assert find_latest_run(str(base)) is None
+
+
+def test_fit_epochs_override_rescales_lr_horizon(tmp_path):
+    """fit(num_epochs=N) must re-anchor the warmup-cosine decay horizon to
+    the effective run length, not the preset's num_epochs."""
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)  # num_epochs=2 in the preset
+    tr = Trainer(preset, data_dir=str(tmp_path / "data"),
+                 run_name="88888888", writer=False)
+    tr.writer = None
+    assert tr.total_steps == 2 * len(tr.train_loader)
+    tr.fit(num_epochs=1, verbose=False)
+    assert tr.total_steps == 1 * len(tr.train_loader)
+
+
+def test_tail_chunk_padding_is_cfg_null(trained):
+    """The short final chunk is padded AFTER normalization: the padding the
+    model sees must be exactly 0 (the trained CFG null token), not
+    (0 - lr_mean)/lr_std."""
+    tmp, preset, tr, _ = trained
+    norm = Normalizer(np.zeros(C), np.ones(C),
+                      5.0 * np.ones(C), 2.0 * np.ones(C))  # nonzero LR stats
+    scfg = SamplerConfig(num_steps=2, chunk_duration=64 * 512 / 44100,
+                         overlap_duration=16 * 512 / 44100)
+    pipe = InferencePipeline(tr.model, tr.state.params, norm,
+                             sampler_cfg=scfg)
+    captured = {}
+
+    def spy_sampler(key, cond, num_steps=None, cfg_scale=None):
+        captured["cond"] = np.asarray(cond)
+        return cond
+
+    pipe.sampler = spy_sampler
+    T = 100  # chunk 64, stride 48 -> chunks (0,64),(48,100): 2nd is 52 real
+    pipe.super_resolve_latent(
+        np.random.RandomState(0).randn(T, C).astype(np.float32))
+    cond = captured["cond"]
+    assert cond.shape[0] == 2
+    np.testing.assert_array_equal(cond[1, 52:], 0.0)  # pad == null token
+    assert np.abs(cond[1, :52]).mean() > 0.5  # real frames are normalized
+
+
 def test_mesh_batch_divisibility_guard(tmp_path):
     from jatsr_tpu.parallel import make_mesh
 
