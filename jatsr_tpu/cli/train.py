@@ -44,11 +44,21 @@ def main(argv=None):
                     help="capture a jax.profiler trace of the first N steps")
     ap.add_argument("--platform", default=None,
                 help="force jax platform (cpu/tpu)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host: join the jax.distributed runtime "
+                         "(auto-detects on Cloud TPU pods; elsewhere set "
+                         "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                         "JAX_PROCESS_ID)")
     args = ap.parse_args(argv)
 
     from ..utils.runtime import select_platform
 
     select_platform(args.platform)
+
+    if args.distributed:
+        from ..parallel.distributed import init_distributed
+
+        init_distributed()
 
     import dataclasses
 

@@ -161,10 +161,17 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, prefetch: int = 2,
                  native: bool = False, native_threads: int = 4,
-                 transform=None):
+                 transform=None, shard=None):
         """``transform(hr, lr) -> (hr, lr)`` runs on the prefetch thread —
         pass a device_put there so host->device transfers overlap device
-        compute (the torch DataLoader's pin_memory+non_blocking analogue)."""
+        compute (the torch DataLoader's pin_memory+non_blocking analogue).
+
+        ``shard=(process_index, process_count)``: multi-host mode — every
+        host computes the identical global batch order (shuffle/crops are
+        pure functions of (seed, epoch, idx)) but materialises only its
+        contiguous span of each batch; ``batch_size`` stays the GLOBAL
+        batch.  The reference gets this from DistributedSampler
+        (train_ddp_v3mod2.py:826-835)."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -173,6 +180,17 @@ class BatchLoader:
         self.epoch = 0
         self.prefetch = prefetch
         self.transform = transform
+        self.shard = shard
+        if shard is not None:
+            pid, n = shard
+            if batch_size % n:
+                raise ValueError(
+                    f"global batch {batch_size} must divide by "
+                    f"process count {n}"
+                )
+            if not drop_last:
+                raise ValueError("sharded loading requires drop_last")
+            assert 0 <= pid < n, shard
         self._native_store = None
         if native:
             from .native_loader import NativeLatentStore, is_available
@@ -226,6 +244,10 @@ class BatchLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.bs]
+        if self.shard is not None:
+            pid, n = self.shard
+            per = self.bs // n
+            batches = [b[pid * per : (pid + 1) * per] for b in batches]
         if self.prefetch <= 0:
             for b in batches:
                 yield self._assemble(b)

@@ -1,0 +1,124 @@
+"""Pallas W8A8 int8 matmul for TPU serving.
+
+TPU v5e's MXU multiplies int8 x int8 -> int32 at ~2x the bf16 FLOP rate,
+but XLA's ``lax.dot_general`` on s8 operands does NOT reach that rate on
+this stack (round-1 micro-bench: s8xs8 1.6 ms vs bf16 0.97 ms for
+5520x1280x5120).  This kernel issues the int8 contraction directly on the
+MXU via Mosaic and fuses the per-row activation / per-column weight
+dequantisation scales into the output tile write, so the fp32 rescale never
+round-trips HBM.
+
+Used by ``ops.quant.int8_dot_general`` (serving mode of the big DiT
+projections, ``ModelConfig.matmul_precision="int8"``).  The reference has
+no quantized path at all — this is TPU-only headroom on top of parity
+(ref workload: infer_test_v3m2.py:107-185).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_rows(x: jax.Array, eps: float = 1e-12):
+    """Symmetric per-row absmax int8 quantisation of ``x [M, K]``.
+
+    Returns ``(x_q int8 [M, K], scale fp32 [M, 1])``.  Elementwise + one
+    row reduce — XLA fuses this into the producer; a Pallas kernel would
+    not beat it.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    x_q = jnp.round(xf / jnp.maximum(scale, eps)).astype(jnp.int8)
+    return x_q, scale
+
+
+def quantize_cols(w: jax.Array, eps: float = 1e-12):
+    """Symmetric per-output-channel absmax int8 quantisation of ``w [K, N]``.
+
+    Returns ``(w_q int8 [K, N], scale fp32 [1, N])``.
+    """
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+    w_q = jnp.round(wf / jnp.maximum(scale, eps)).astype(jnp.int8)
+    return w_q, scale
+
+
+def _kernel(a_ref, w_ref, as_ref, ws_ref, out_ref):
+    acc = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    out_ref[:] = (
+        acc.astype(jnp.float32) * as_ref[:] * ws_ref[:]
+    ).astype(out_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "block_m", "block_n")
+)
+def int8_matmul(
+    a_q: jax.Array,       # [M, K] int8
+    a_scale: jax.Array,   # [M, 1] fp32
+    w_q: jax.Array,       # [K, N] int8
+    w_scale: jax.Array,   # [1, N] fp32
+    *,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    block_m: int = 0,
+    block_n: int = 0,
+) -> jax.Array:
+    """``(a_q * a_scale) @ (w_q * w_scale)`` -> ``[M, N] out_dtype``.
+
+    Full-K blocks (K always fits VMEM at DiT geometries, max 8192 int8
+    columns); grid over (M, N) tiles with the j axis fastest so the A tile
+    is loaded once per row sweep.
+    """
+    M, K = a_q.shape
+    K2, N = w_q.shape
+    assert K == K2, (a_q.shape, w_q.shape)
+    assert K % 128 == 0 and N % 128 == 0, (
+        f"K={K}, N={N} must be lane-aligned (x128)"
+    )
+
+    # Tile choice (tools/mxu_bench.py --sweep on v5e): bm=512 with the
+    # widest bn that keeps (A + W) tiles ~<= 3 MB — wide bn amortises the
+    # A-tile residency, bm=512 halves repeated W sweeps vs 256.
+    bm = block_m or (256 if K > 5120 else 512)
+    bn = block_n or min(1024 if K <= 2560 else 512, N)
+    bm = min(bm, _round_up(M, 32))
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        a_q = jnp.pad(a_q, ((0, Mp - M), (0, 0)))
+        a_scale = jnp.pad(a_scale, ((0, Mp - M), (0, 0)),
+                          constant_values=1.0)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(Mp // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K + K * N * (Mp // bm) + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_q, w_q, a_scale, w_scale)
+    return out[:M] if Mp != M else out

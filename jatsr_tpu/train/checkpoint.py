@@ -59,22 +59,28 @@ def _state_pytree(state: TrainState) -> Dict[str, Any]:
 
 
 class CheckpointManager:
-    def __init__(self, run_dir: str | Path):
+    def __init__(self, run_dir: str | Path, primary: bool = True):
+        """``primary``: multi-host mode — every process calls ``save``
+        (Orbax coordinates the sharded array writes) but only process 0
+        writes the sidecar meta JSON / prunes."""
         self.run_dir = Path(run_dir)
-        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.primary = primary
+        if primary:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
     def save(self, name: str, state: TrainState, epoch: int,
              best_val_loss: float, extra: Optional[Dict] = None):
         path = (self.run_dir / name).absolute()
         self._ckptr.save(path, _state_pytree(state), force=True)
-        meta = {
-            "epoch": epoch,
-            "global_step": int(state.step),
-            "best_val_loss": float(best_val_loss),
-            **(extra or {}),
-        }
-        (self.run_dir / f"{name}.meta.json").write_text(json.dumps(meta))
+        if self.primary:
+            meta = {
+                "epoch": epoch,
+                "global_step": int(state.step),
+                "best_val_loss": float(best_val_loss),
+                **(extra or {}),
+            }
+            (self.run_dir / f"{name}.meta.json").write_text(json.dumps(meta))
         self._ckptr.wait_until_finished()
 
     def restore(self, name: str, template: TrainState
@@ -129,7 +135,7 @@ class CheckpointManager:
 
     def prune_intervals(self, keep: int):
         """Remove all but the newest ``keep`` interval checkpoints."""
-        if keep <= 0:
+        if keep <= 0 or not self.primary:
             return
         import re
         import shutil

@@ -56,18 +56,28 @@ class Trainer:
 
         select_prng_impl(tcfg.prng_impl)
 
+        # Multi-host: each process materialises only its span of every
+        # global batch (the DistributedSampler analogue); requires a mesh
+        # over the global device set (parallel/distributed.py).
+        self.n_procs = jax.process_count()
+        self.primary = jax.process_index() == 0
+        shard = (jax.process_index(), self.n_procs) \
+            if self.n_procs > 1 else None
+        if self.n_procs > 1 and mesh is None:
+            raise ValueError("multi-host training requires a device mesh")
+
         # Data.
         target = dcfg.target_frames
         self.train_loader = BatchLoader(
             LatentDataset(data_dir, "train", target,
                           dcfg.samples_per_epoch_multiplier, seed=tcfg.seed),
             tcfg.batch_size, shuffle=True, seed=tcfg.seed,
-            native=native_loader,
+            native=native_loader, shard=shard,
         )
         self.val_loader = BatchLoader(
             ValidationDataset(data_dir, "val", target,
                               dcfg.samples_per_epoch_multiplier),
-            tcfg.batch_size, shuffle=False,
+            tcfg.batch_size, shuffle=False, shard=shard,
         )
         stats_path = Path(data_dir) / dcfg.stats_file
         self.normalizer = Normalizer(*load_stats(str(stats_path)))
@@ -97,10 +107,10 @@ class Trainer:
                 )
             rep = replicated(mesh)
             self.state = self.state.replace(
-                params=jax.device_put(
+                params=self._place(
                     self.state.params, param_shardings(mesh, self.state.params)
                 ),
-                opt_state=jax.device_put(
+                opt_state=self._place(
                     self.state.opt_state,
                     opt_state_shardings(mesh, self.state.opt_state)
                     if tcfg.shard_opt_state
@@ -109,8 +119,8 @@ class Trainer:
                         is_leaf=lambda x: isinstance(x, jax.Array),
                     ),
                 ),
-                step=jax.device_put(self.state.step, rep),
-                rng=jax.device_put(self.state.rng, rep),
+                step=self._place(self.state.step, rep),
+                rng=self._place(self.state.rng, rep),
             )
             self._batch_sharding = batch_sharding(mesh)
         else:
@@ -140,7 +150,13 @@ class Trainer:
             run_dir = Path(resume)
         else:
             run_dir = base / (run_name or timestamp_run_name())
-        self.ckpt = CheckpointManager(run_dir)
+        if self.n_procs > 1:
+            # Timestamp names can differ across hosts by a tick; all hosts
+            # must write the one run dir chosen by process 0.
+            from ..parallel.distributed import shared_run_name
+
+            run_dir = run_dir.parent / shared_run_name(run_dir.name)
+        self.ckpt = CheckpointManager(run_dir, primary=self.primary)
         if resume and self.ckpt.has("last"):
             self.state, meta = self.ckpt.restore("last", self.state)
             self.start_epoch = meta["epoch"] + 1
@@ -149,7 +165,7 @@ class Trainer:
                   f"{self.start_epoch}, step {int(self.state.step)}")
 
         self.writer = writer
-        if self.writer is None:
+        if self.writer is None and self.primary:
             try:
                 from tensorboardX import SummaryWriter
 
@@ -160,11 +176,36 @@ class Trainer:
 
         # Persist the full preset alongside checkpoints (the reference saves
         # model_params inside every checkpoint, train_ddp_v3mod2.py:1145).
-        (self.ckpt.run_dir / "preset.json").write_text(preset.to_json())
+        if self.primary:
+            (self.ckpt.run_dir / "preset.json").write_text(preset.to_json())
 
     # ------------------------------------------------------------------
 
+    def _place(self, tree, shardings):
+        """Place a host tree onto the mesh.  Multi-host: values exist
+        identically on every process (same init seed / same restored
+        checkpoint), so each process contributes its addressable shards of
+        the full array."""
+        if self.n_procs == 1:
+            return jax.device_put(tree, shardings)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.make_array_from_process_local_data(
+                s, np.asarray(x), np.shape(x)
+            ),
+            tree, shardings,
+            is_leaf=lambda x: isinstance(x, (jax.Array, np.ndarray)),
+        )
+
     def _put_batch(self, hr, lr):
+        if self.n_procs > 1:
+            from ..parallel.distributed import put_global_batch
+
+            if getattr(hr, "is_fully_addressable", None) is False:
+                return hr, lr  # already global (idempotent re-put)
+            return put_global_batch(
+                self.mesh, np.asarray(hr), np.asarray(lr),
+                global_batch=self.preset.train.batch_size,
+            )
         hr, lr = jnp.asarray(hr), jnp.asarray(lr)
         if self._batch_sharding is not None:
             hr = jax.device_put(hr, self._batch_sharding)

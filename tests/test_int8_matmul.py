@@ -1,0 +1,70 @@
+"""Pallas W8A8 int8 matmul: exactness vs the XLA integer path.
+
+int8 x int8 -> int32 is exact arithmetic, so the Pallas kernel, the XLA
+dot_general path, and a fp32 emulation must agree to fp32 rounding of the
+identical rescale.  (Interpret mode does not enforce Mosaic tiling rules —
+the real-chip smoke lives in tests/test_tpu_smoke.py.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jatsr_tpu.ops.int8_matmul import int8_matmul, quantize_cols, quantize_rows
+from jatsr_tpu.ops.quant import int8_dot_general
+
+
+@pytest.mark.parametrize("M,K,N", [(64, 128, 256), (100, 256, 128)])
+def test_pallas_matches_xla_int8(M, K, N):
+    rs = np.random.RandomState(0)
+    a = jnp.asarray(rs.randn(M, K), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(K, N) * 0.05, jnp.bfloat16)
+    a_q, a_s = quantize_rows(a)
+    w_q, w_s = quantize_cols(w)
+
+    got = int8_matmul(a_q, a_s, w_q, w_s, interpret=True,
+                      block_m=32, block_n=128)
+    ref = (
+        jax.lax.dot_general(a_q, w_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * a_s * w_s
+    ).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert got.shape == (M, N)
+
+
+def test_quantize_roundtrip_accuracy():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(50, 64), jnp.float32)
+    x_q, s = quantize_rows(x)
+    assert x_q.dtype == jnp.int8 and s.shape == (50, 1)
+    back = x_q.astype(jnp.float32) * s
+    # absmax symmetric quant: error bounded by scale/2 per element
+    assert float(jnp.max(jnp.abs(back - x))) <= float(jnp.max(s)) * 0.5 + 1e-6
+
+
+def test_int8_dot_general_dense_semantics():
+    """Drop-in behaviour for nn.Dense: rank-3 lhs, [K, N] rhs, and a
+    reasonable quantisation error vs the exact bf16 product."""
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 16, 128), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(128, 256) * 0.05, jnp.bfloat16)
+    got = int8_dot_general(x, w, (((2,), (0,)), ((), ())))
+    assert got.shape == (2, 16, 256) and got.dtype == x.dtype
+    ref = jnp.einsum("btk,kn->btn", x.astype(jnp.float32),
+                     w.astype(jnp.float32))
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert err < 0.02 * scale
+
+
+def test_int8_dot_general_fallback_general_contraction():
+    """Non-Dense dimension numbers fall through to lax.dot_general."""
+    rs = np.random.RandomState(3)
+    a = jnp.asarray(rs.randn(4, 8, 16), jnp.float32)
+    b = jnp.asarray(rs.randn(4, 16, 8), jnp.float32)
+    dn = (((2,), (1,)), ((0,), (0,)))  # batched
+    got = int8_dot_general(a, b, dn)
+    ref = jax.lax.dot_general(a, b, dn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
