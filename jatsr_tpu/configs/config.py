@@ -257,6 +257,15 @@ _PRESETS = {
         dict(reconstruction="mse"),
         dict(),
     ),
+    # Original full run: V2 model at batch 72, dropout 0.1
+    # (ref train_ddp.py:44-70 — the script that predates the v1..v3 line).
+    "v2full": _mk(
+        "v2full",
+        dict(hidden_size=1024, depth=16, num_q_heads=16, num_kv_heads=4,
+             dropout=0.1, drop_path_rate=0.0),
+        dict(reconstruction="mse"),
+        dict(batch_size=72, lr=5e-5, warmup_steps=1000, num_epochs=1000),
+    ),
     # 766 M MSE baseline (ref train_ddp_v3.py:64-72).
     "v3": _mk("v3", dict(**_V3_MODEL), dict(reconstruction="mse"), dict()),
     # RMSNorm + CFG training (ref train_ddp_v3m2.py:64-91, jat_audiosr_v3.py).
