@@ -36,7 +36,12 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--int8", action="store_true",
                     help="dynamic W8A8 serving mode on the big projections")
+    ap.add_argument("--quantize-head", action="store_true",
+                    help="extend int8 to final_proj (quality-gated knob)")
     ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
+                    metavar=("LO", "HI"),
+                    help="apply CFG only for t in [LO, HI) of the schedule")
     ap.add_argument("--deadline", type=int, default=2700,
                     help="hard wall-clock limit in seconds (the TPU tunnel "
                          "can wedge; better to die loudly than hang)")
@@ -69,6 +74,7 @@ def main():
     mcfg = dataclasses.replace(
         preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
         matmul_precision="int8" if args.int8 else "bf16",
+        quantize_head=args.quantize_head,
         attention_impl=args.attention,
     )
     model = DiT(mcfg)
@@ -89,7 +95,8 @@ def main():
 
     sampler = FlowSampler(
         lambda p, z, t, c: model.apply({"params": p}, z, t, c),
-        SamplerConfig(num_steps=args.steps, cfg_scale=args.cfg_scale),
+        SamplerConfig(num_steps=args.steps, cfg_scale=args.cfg_scale,
+                      cfg_interval=tuple(args.cfg_interval)),
         params=params,
     )
 

@@ -65,6 +65,10 @@ class ModelConfig:
     # Projection matmul precision: "bf16" (default) or "int8" (dynamic W8A8
     # on the big projections — serving mode; ~2x MXU rate on v5e).
     matmul_precision: str = "bf16"
+    # Extend int8 to the output head (final_proj, ~58 GFLOP/forward at v3
+    # geometry).  Separate knob: the head writes the predicted latent
+    # directly, so its quantisation is gated on its own quality eval.
+    quantize_head: bool = False
     # Backward rematerialisation policy per DiT block:
     #   "full" — recompute everything (min HBM),
     #   "dots" — save matmul outputs, recompute elementwise (faster bwd),
@@ -190,6 +194,10 @@ class SamplerConfig:
     solver: str = "euler"
     t_jump_threshold: float = 0.999  # jump-to-x0 guard near t=1
     velocity_eps: float = 1e-5  # 1/(1-t+eps) guard
+    # Guidance interval (fractions of the schedule): CFG's 2x model cost is
+    # paid only for t in [lo, hi); outside, the conditional branch alone
+    # drives the ODE.  (0, 1) = reference parity (always guided).
+    cfg_interval: Tuple[float, float] = (0.0, 1.0)
     # Chunked long-audio inference (ref infer_test_v3m2.py:339-362).
     chunk_duration: float = 16.0
     overlap_duration: float = 2.0
@@ -225,7 +233,10 @@ class Preset:
             train=TrainConfig(**{**d["train"],
                                  "mesh_shape": tuple(d["train"]["mesh_shape"])}),
             data=DataConfig(**d["data"]),
-            sampler=SamplerConfig(**d["sampler"]),
+            sampler=SamplerConfig(**{
+                **d["sampler"],
+                "cfg_interval": tuple(d["sampler"]["cfg_interval"]),
+            }),
         )
 
 

@@ -342,6 +342,8 @@ class DiT(nn.Module):
             P * C, dtype=dtype, param_dtype=pdtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             name="final_proj",
+            dot_general=dg if (cfg.quantize_head
+                               and cfg.matmul_precision == "int8") else None,
         )(h)
 
         # Unpatchify (pure reshape in time-major layout) and trim padding.

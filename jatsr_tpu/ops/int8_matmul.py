@@ -1,12 +1,12 @@
-"""Pallas W8A8 int8 matmul for TPU serving.
+"""Pallas W8A8 int8 matmul kernels for TPU serving.
 
-TPU v5e's MXU multiplies int8 x int8 -> int32 at ~2x the bf16 FLOP rate,
-but XLA's ``lax.dot_general`` on s8 operands does NOT reach that rate on
-this stack (round-1 micro-bench: s8xs8 1.6 ms vs bf16 0.97 ms for
-5520x1280x5120).  This kernel issues the int8 contraction directly on the
-MXU via Mosaic and fuses the per-row activation / per-column weight
-dequantisation scales into the output tile write, so the fp32 rescale never
-round-trips HBM.
+TPU v5e's MXU multiplies int8 x int8 -> int32 at ~2x the bf16 FLOP rate.
+XLA's own s8xs8 ``dot_general`` also reaches that rate (tools/mxu_bench.py:
+257-332 TF/s), so the plain ``int8_matmul`` kernel is an alternative, not a
+requirement.  The differentiator is ``int8_matmul_fused``: dynamic per-row
+activation quantisation INSIDE the kernel — activations cross HBM once as
+bf16 instead of bf16-read + int8-write + int8-read, and the fp32 rescale is
+fused into the output tile write.
 
 Used by ``ops.quant.int8_dot_general`` (serving mode of the big DiT
 projections, ``ModelConfig.matmul_precision="int8"``).  The reference has
@@ -23,6 +23,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Multiply by the reciprocal instead of dividing by 127: XLA strength-
+# reduces constant division to a reciprocal multiply in SOME paths (one
+# extra rounding), so an explicit multiply is the only way the Pallas and
+# XLA quantisation paths produce bit-identical scales.
+_INV127 = float(jnp.float32(1.0) / jnp.float32(127.0))
+
 
 def quantize_rows(x: jax.Array, eps: float = 1e-12):
     """Symmetric per-row absmax int8 quantisation of ``x [M, K]``.
@@ -32,7 +38,7 @@ def quantize_rows(x: jax.Array, eps: float = 1e-12):
     not beat it.
     """
     xf = x.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) * _INV127
     x_q = jnp.round(xf / jnp.maximum(scale, eps)).astype(jnp.int8)
     return x_q, scale
 
@@ -43,7 +49,7 @@ def quantize_cols(w: jax.Array, eps: float = 1e-12):
     Returns ``(w_q int8 [K, N], scale fp32 [1, N])``.
     """
     wf = w.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+    scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) * _INV127
     w_q = jnp.round(wf / jnp.maximum(scale, eps)).astype(jnp.int8)
     return w_q, scale
 
@@ -57,6 +63,83 @@ def _kernel(a_ref, w_ref, as_ref, ws_ref, out_ref):
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _fused_kernel(a_ref, w_ref, ws_ref, out_ref, aq_ref, s_ref):
+    # Quantize the A row-block ONCE per i (j is the fastest grid axis, so
+    # the block and its scratch persist across the j sweep).
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        a = a_ref[:].astype(jnp.float32)
+        s = jnp.maximum(
+            jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
+        )
+        aq_ref[:] = jnp.round(a / s).astype(jnp.int8)
+        s_ref[:] = s
+
+    acc = jnp.dot(aq_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    out_ref[:] = (
+        acc.astype(jnp.float32) * s_ref[:] * ws_ref[:]
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "block_m", "block_n")
+)
+def int8_matmul_fused(
+    a: jax.Array,         # [M, K] bf16/f32 activations (unquantized)
+    w_q: jax.Array,       # [K, N] int8
+    w_scale: jax.Array,   # [1, N] fp32
+    *,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    block_m: int = 0,
+    block_n: int = 0,
+) -> jax.Array:
+    """W8A8 matmul with IN-KERNEL dynamic per-row activation quantisation.
+
+    vs the two-stage path (XLA quantize pass + int8 dot), activations cross
+    HBM once as bf16 (2 B/elem) instead of bf16-read + int8-write + int8-
+    read (4 B/elem), and the quantise work runs once per (row-block) on the
+    VPU while the MXU streams the j sweep.
+    """
+    M, K = a.shape
+    K2, N = w_q.shape
+    assert K == K2 and K % 128 == 0 and N % 128 == 0, (a.shape, w_q.shape)
+
+    bm = block_m or (256 if K > 2560 else 512)
+    bn = block_n or min(1024 if K <= 2560 else 512, N)
+    bm = min(bm, _round_up(M, 32))
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        a = jnp.pad(a, ((0, Mp - M), (0, 0)))
+
+    out = pl.pallas_call(
+        _fused_kernel,
+        grid=(Mp // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, K), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2 + K * N * (Mp // bm) + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, w_q, w_scale)
+    return out[:M] if Mp != M else out
 
 
 @functools.partial(

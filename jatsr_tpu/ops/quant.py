@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .int8_matmul import int8_matmul
+from .int8_matmul import _INV127, int8_matmul, int8_matmul_fused
 
 
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
@@ -56,19 +56,29 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     K, N = rhs.shape
 
     rhs_f = rhs.astype(jnp.float32)
-    w_scale = jnp.max(jnp.abs(rhs_f), axis=rcd, keepdims=True) / 127.0
+    w_scale = jnp.max(jnp.abs(rhs_f), axis=rcd, keepdims=True) * _INV127
     w_q = jnp.round(rhs_f / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
 
+    lead = lhs.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    impl = os.environ.get("JATSR_INT8_IMPL")
+    aligned = K % 128 == 0 and N % 128 == 0 and M >= 32
+
+    # Fused kernel: activations cross HBM once as bf16; per-row scales are
+    # computed in VMEM (ops/int8_matmul.py).
+    if impl == "fused" and jax.default_backend() == "tpu" and aligned:
+        out = int8_matmul_fused(
+            lhs.reshape(M, K), w_q, w_scale.reshape(1, N),
+            out_dtype=out_dtype,
+        )
+        return out.reshape(*lead, N)
+
     lhs_f = lhs.astype(jnp.float32)
-    a_scale = jnp.max(jnp.abs(lhs_f), axis=lcd, keepdims=True) / 127.0
+    a_scale = jnp.max(jnp.abs(lhs_f), axis=lcd, keepdims=True) * _INV127
     a_q = jnp.round(lhs_f / jnp.maximum(a_scale, 1e-12)).astype(jnp.int8)
 
     # Pallas opt-in (Mosaic tiling needs 2-D lane-aligned operands).
-    lead = lhs.shape[:-1]
-    M = int(np.prod(lead)) if lead else 1
-    if (os.environ.get("JATSR_INT8_IMPL") == "pallas"
-            and jax.default_backend() == "tpu"
-            and K % 128 == 0 and N % 128 == 0 and M >= 32):
+    if impl == "pallas" and jax.default_backend() == "tpu" and aligned:
         out = int8_matmul(
             a_q.reshape(M, K), a_scale.reshape(M, 1), w_q,
             w_scale.reshape(1, N), out_dtype=out_dtype,

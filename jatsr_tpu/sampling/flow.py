@@ -103,12 +103,13 @@ class FlowSampler:
         n = timesteps.shape[0] - 1
         return jax.lax.fori_loop(0, n, body, z0)
 
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
-    def _sample_cfg(self, params, cond, z0, timesteps, cfg_scale):
+    def _make_bodies(self, params, cond, timesteps, cfg_scale):
+        """(guided, unguided) fori_loop bodies sharing the Euler/Heun/jump
+        logic."""
         eps = self.cfg.velocity_eps
         jump = self.cfg.t_jump_threshold
         heun = self.cfg.solver == "heun"
-        B = z0.shape[0]
+        B = cond.shape[0]
         # Conditional half first, unconditional (zero) half second — one
         # forward on 2B per step (infer_test_v3m2.py:154-156).
         cond_full = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
@@ -121,20 +122,53 @@ class FlowSampler:
             x_pred = x_u + cfg_scale * (x_c - x_u)
             return (x_pred - z) / (1.0 - t + eps), x_pred
 
-        def body(i, z):
-            t_curr = timesteps[i]
-            t_next = timesteps[i + 1]
-            dt = t_next - t_curr
-            v1, x_pred = guided_velocity(z, t_curr)
-            if heun:
-                v2, _ = guided_velocity(z + v1 * dt, t_next)
-                v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
-            else:
-                v = v1
-            return jnp.where(t_curr < jump, z + v * dt, x_pred)
+        def plain_velocity(z, t):
+            return self._velocity(params, z, t, cond)
 
+        def make_body(velocity):
+            def body(i, z):
+                t_curr = timesteps[i]
+                t_next = timesteps[i + 1]
+                dt = t_next - t_curr
+                v1, x_pred = velocity(z, t_curr)
+                if heun:
+                    v2, _ = velocity(z + v1 * dt, t_next)
+                    v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
+                else:
+                    v = v1
+                return jnp.where(t_curr < jump, z + v * dt, x_pred)
+
+            return body
+
+        return make_body(guided_velocity), make_body(plain_velocity)
+
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
+    def _sample_cfg(self, params, cond, z0, timesteps, cfg_scale):
+        body, _ = self._make_bodies(params, cond, timesteps, cfg_scale)
         n = timesteps.shape[0] - 1
         return jax.lax.fori_loop(0, n, body, z0)
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=(3,))
+    def _sample_cfg_interval(self, params, cond, z0, timesteps, i_lo, i_hi,
+                             cfg_scale):
+        """CFG applied only on steps [i_lo, i_hi); outside, the conditional
+        branch alone drives the ODE (half the model work on those steps).
+
+        Guidance-interval restriction (Kynkäänniemi et al. 2024): guidance
+        contributes mostly at mid-range noise levels; the reference always
+        pays 2x for all 50 steps (infer_test_v3m2.py:144-164).  Opt-in
+        ``SamplerConfig.cfg_interval`` — quality-gate before defaulting.
+        """
+        body_cfg, body_plain = self._make_bodies(params, cond, timesteps,
+                                                 cfg_scale)
+        n = timesteps.shape[0] - 1
+        z = z0
+        if i_lo > 0:
+            z = jax.lax.fori_loop(0, i_lo, body_plain, z)
+        z = jax.lax.fori_loop(i_lo, i_hi, body_cfg, z)
+        if i_hi < n:
+            z = jax.lax.fori_loop(i_hi, n, body_plain, z)
+        return z
 
     def __call__(
         self,
@@ -157,6 +191,14 @@ class FlowSampler:
         z0 = jax.random.normal(key, cond.shape, dtype=jnp.float32)
         timesteps = jnp.linspace(0.0, 1.0, num_steps + 1, dtype=jnp.float32)
         if cfg_scale != 1.0:
+            lo, hi = self.cfg.cfg_interval
+            i_lo = max(0, min(num_steps, round(lo * num_steps)))
+            i_hi = max(i_lo, min(num_steps, round(hi * num_steps)))
+            if (i_lo, i_hi) != (0, num_steps):
+                return self._sample_cfg_interval(
+                    self.params, cond, z0, timesteps, i_lo, i_hi,
+                    jnp.float32(cfg_scale),
+                )
             return self._sample_cfg(self.params, cond, z0, timesteps,
                                     jnp.float32(cfg_scale))
         return self._sample_nocfg(self.params, cond, z0, timesteps)

@@ -135,3 +135,49 @@ def test_int8_sampler_path():
     assert np.isfinite(outs["int8"]).all()
     denom = np.abs(outs["bf16"]).mean() + 1e-6
     assert np.abs(outs["int8"] - outs["bf16"]).mean() / denom < 0.2
+
+
+def test_cfg_interval_full_matches_plain_cfg():
+    """cfg_interval=(0,1) must take the plain always-guided path; an
+    explicitly materialised (0, n) interval sampler produces identical
+    trajectories."""
+    cond = jnp.asarray(np.random.RandomState(5).randn(2, 8, 4), jnp.float32)
+    f = lambda z, t, c: 0.3 * c + 0.2 * z
+    a = FlowSampler(f, SamplerConfig(num_steps=10))(
+        jax.random.PRNGKey(4), cond, cfg_scale=2.5)
+    s = FlowSampler(f, SamplerConfig(num_steps=10, cfg_interval=(0.0, 1.0)))
+    z0 = jax.random.normal(jax.random.PRNGKey(4), cond.shape, jnp.float32)
+    ts = jnp.linspace(0.0, 1.0, 11, jnp.float32)
+    b = s._sample_cfg_interval(None, cond, z0, ts, 0, 10, jnp.float32(2.5))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cfg_interval_limits_guidance():
+    """With guidance limited to the middle of the schedule, the endpoint is
+    still the oracle x0 (identity-predictor), and counting model batch
+    sizes confirms the unguided segments run at B, not 2B."""
+    calls = []
+
+    def f(z, t, c):
+        calls.append(int(z.shape[0]))
+        return c
+
+    cond = jnp.asarray(np.random.RandomState(6).randn(2, 8, 4), jnp.float32)
+    scfg = SamplerConfig(num_steps=10, cfg_interval=(0.2, 0.8))
+    out = FlowSampler(f, scfg)(jax.random.PRNGKey(1), cond, cfg_scale=2.0)
+    assert np.isfinite(np.asarray(out)).all()
+    # trace-time shapes: one 2B trace (guided body) and one B trace each
+    # for the head/tail unguided loops
+    assert 4 in calls and 2 in calls
+
+
+def test_cfg_interval_zero_width_is_uncond():
+    """A degenerate interval guides nowhere: equals the cfg_scale-agnostic
+    conditional-only trajectory."""
+    cond = jnp.asarray(np.random.RandomState(7).randn(1, 8, 4), jnp.float32)
+    f = lambda z, t, c: 0.5 * c + 0.1 * z
+    plain = FlowSampler(f, SamplerConfig(num_steps=8))(
+        jax.random.PRNGKey(2), cond)  # cfg_scale=1 -> nocfg path
+    s = FlowSampler(f, SamplerConfig(num_steps=8, cfg_interval=(0.0, 0.0)))
+    lim = s(jax.random.PRNGKey(2), cond, cfg_scale=3.0)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(lim), atol=1e-6)

@@ -34,6 +34,24 @@ def test_pallas_matches_xla_int8(M, K, N):
     assert got.shape == (M, N)
 
 
+@pytest.mark.parametrize("M,K,N", [(64, 128, 256), (100, 256, 128)])
+def test_fused_matches_two_stage(M, K, N):
+    """The fused (in-kernel activation quant) kernel computes exactly the
+    two-stage result: same rounding, same int accumulate, same rescale."""
+    from jatsr_tpu.ops.int8_matmul import int8_matmul_fused
+
+    rs = np.random.RandomState(4)
+    a = jnp.asarray(rs.randn(M, K), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(K, N) * 0.05, jnp.bfloat16)
+    a_q, a_s = quantize_rows(a)
+    w_q, w_s = quantize_cols(w)
+    want = int8_matmul(a_q, a_s, w_q, w_s, interpret=True,
+                       block_m=32, block_n=128)
+    got = int8_matmul_fused(a, w_q, w_s, interpret=True,
+                            block_m=32, block_n=128)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_quantize_roundtrip_accuracy():
     rs = np.random.RandomState(1)
     x = jnp.asarray(rs.randn(50, 64), jnp.float32)

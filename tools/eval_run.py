@@ -37,6 +37,14 @@ def main():
     ap.add_argument("--cfg-sweep", type=float, nargs="*", default=None,
                     help="evaluate several CFG scales (overrides --cfg-scale)")
     ap.add_argument("--seconds", type=float, default=16.0)
+    ap.add_argument("--int8", action="store_true",
+                    help="evaluate the int8 W8A8 serving path (quality "
+                         "gate for making it the bench default)")
+    ap.add_argument("--quantize-head", action="store_true",
+                    help="extend int8 to final_proj")
+    ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
+                    metavar=("LO", "HI"),
+                    help="apply CFG only for t in [LO, HI) of the schedule")
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -67,7 +75,11 @@ def main():
     from jatsr_tpu.utils import save_wav
 
     preset = get_preset(args.preset)
-    model = DiT(preset.model)
+    mcfg = preset.model
+    if args.int8:
+        mcfg = dataclasses.replace(mcfg, matmul_precision="int8",
+                                   quantize_head=args.quantize_head)
+    model = DiT(mcfg)
     C = preset.model.input_channels
     dummy = jnp.zeros((1, 8, C), jnp.float32)
     state = create_train_state(model, preset.train, 1, (dummy, dummy))
@@ -84,7 +96,8 @@ def main():
     stats_path = Path(args.data_dir) / preset.data.stats_file
     norm = Normalizer(*load_stats(str(stats_path)))
     scfg = dataclasses.replace(preset.sampler, num_steps=args.steps,
-                               cfg_scale=args.cfg_scale)
+                               cfg_scale=args.cfg_scale,
+                               cfg_interval=tuple(args.cfg_interval))
     pipe = InferencePipeline(model, state.params, norm, codec, scfg)
 
     out_dir = Path(args.output_dir or Path(args.run_dir) / "eval")

@@ -1,0 +1,132 @@
+"""Overfit gate at PRODUCTION geometry on the real TPU chip.
+
+The reference's canonical go/no-go (tests/test_dac_overfit_v2.py:210-305,
+QUICK_COMMANDS.txt:79-84) run at the real sizes: 1024-channel DAC
+(rates 2/4/8/8, random-init — published weights are not obtainable in this
+environment), v1-size DiT (60 M), one 16 s 44.1 kHz clip (1378 latent
+frames).  Gates: train loss < 0.05x initial, generated-latent correlation
+> 0.99, decoded-waveform correlation > 0.95.
+
+Usage: python tools/overfit_gate_tpu.py [--steps N]
+Writes results to PERF-gate JSON on stdout; exits nonzero on gate failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from jatsr_tpu.configs import SamplerConfig, get_preset
+    from jatsr_tpu.models import DiT, count_params
+    from jatsr_tpu.models.dac import DAC, DACConfig
+    from jatsr_tpu.ops import simulate_lr
+    from jatsr_tpu.sampling import FlowSampler
+    from jatsr_tpu.train import create_train_state, make_train_step
+    from jatsr_tpu.train.step import Normalizer
+
+    print(f"backend: {jax.default_backend()}")
+    sr = 44100
+    codec = DAC.random_init(0, DACConfig())  # production 1024-ch geometry
+
+    # one 16 s "song": chirp + harmonics + noise floor
+    dur = 16.0
+    t = np.arange(int(sr * dur)) / sr
+    clip = (
+        0.4 * np.sin(2 * np.pi * (220 + 30 * t) * t)
+        + 0.2 * np.sin(2 * np.pi * 880 * t)
+        + 0.1 * np.sin(2 * np.pi * 4000 * t)
+        + 0.02 * np.random.RandomState(0).randn(t.size)
+    ).astype(np.float32)
+    x = jnp.asarray(clip[None, :, None])
+
+    t0 = time.time()
+    lr_audio = simulate_lr(x, sr, 11025)
+    z_hr, _ = codec.encode(x)
+    z_lr, _ = codec.encode(lr_audio)
+    hr = np.asarray(z_hr)
+    lr_lat = np.asarray(z_lr)
+    print(f"encoded: hr {hr.shape} in {time.time()-t0:.1f}s")
+    assert hr.shape[1] == int(dur * sr / 512) + (1 if (dur*sr) % 512 else 0) \
+        or hr.shape[1] in (1378, 1379), hr.shape
+
+    B = args.batch
+    hr_b = np.repeat(hr, B, axis=0)
+    lr_b = np.repeat(lr_lat, B, axis=0)
+
+    preset = get_preset("v1")  # 60 M, C=1024
+    mcfg = dataclasses.replace(preset.model, dropout=0.0, drop_path_rate=0.0)
+    tcfg = dataclasses.replace(preset.train, lr=args.lr, warmup_steps=30,
+                               condition_noise_ratio=0.0, batch_size=B)
+    model = DiT(mcfg)
+    state = create_train_state(model, tcfg, args.steps * 2,
+                               (jnp.asarray(hr_b), jnp.asarray(lr_b)))
+    print(f"model: {count_params(state.params)/1e6:.1f}M params")
+    mu, sd = hr.mean(axis=(0, 1)), hr.std(axis=(0, 1)) + 1e-6
+    mul, sdl = lr_lat.mean(axis=(0, 1)), lr_lat.std(axis=(0, 1)) + 1e-6
+    norm = Normalizer(mu, sd, mul, sdl)
+    step = jax.jit(make_train_step(preset.loss, tcfg, norm),
+                   donate_argnums=(0,))
+
+    hr_j, lr_j = jnp.asarray(hr_b), jnp.asarray(lr_b)
+    t0 = time.time()
+    first = None
+    for i in range(args.steps):
+        state, m = step(state, hr_j, lr_j)
+        if first is None:
+            first = float(m["loss"])
+            print(f"step 0: loss {first:.4f} (compile "
+                  f"{time.time()-t0:.0f}s)")
+        elif (i + 1) % 100 == 0:
+            print(f"step {i+1}: loss {float(m['loss']):.5f}")
+    last = float(m["loss"])
+
+    sampler = FlowSampler(
+        lambda p, z, tt, c: model.apply({"params": p}, z, tt, c),
+        SamplerConfig(num_steps=50), params=state.params,
+    )
+    gen_norm = sampler(jax.random.PRNGKey(0),
+                       jnp.asarray(norm.norm_lr(jnp.asarray(lr_lat))))
+    gen = np.asarray(norm.denorm_hr(gen_norm))
+
+    corr_latent = float(np.corrcoef(gen.ravel(), hr.ravel())[0, 1])
+    wav_gen = np.asarray(codec.decode(jnp.asarray(gen)))[0, :, 0]
+    wav_gt = np.asarray(codec.decode(jnp.asarray(hr)))[0, :, 0]
+    corr_wav = float(np.corrcoef(wav_gen, wav_gt)[0, 1])
+
+    ok = (last < 0.05 * first) and corr_latent > 0.99 and corr_wav > 0.95
+    print(json.dumps({
+        "gate": "overfit_production_geometry",
+        "backend": jax.default_backend(),
+        "loss_first": round(first, 4), "loss_last": round(last, 5),
+        "loss_ratio": round(last / first, 5),
+        "latent_corr": round(corr_latent, 5),
+        "wav_corr": round(corr_wav, 5),
+        "steps": args.steps, "ok": ok,
+    }))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
