@@ -37,6 +37,13 @@ def main(argv=None):
     ap.add_argument("--cfg-scale", type=float, default=1.0)
     ap.add_argument("--dac-weights", default=None)
     ap.add_argument("--total-seconds", type=float, default=None)
+    ap.add_argument("--int8", action="store_true",
+                    help="W8A8 serving matmuls (v5e MXU int8 rate)")
+    ap.add_argument("--quantize-head", action="store_true",
+                    help="extend int8 to the output head")
+    ap.add_argument("--cfg-interval", type=float, nargs=2,
+                    default=(0.0, 1.0), metavar=("LO", "HI"),
+                    help="apply CFG only for t in [LO, HI) of the schedule")
     ap.add_argument("--platform", default=None,
                 help="force jax platform (cpu/tpu)")
     args = ap.parse_args(argv)
@@ -69,8 +76,14 @@ def main(argv=None):
             print(f"[infer] preset '{preset.name}' from {pj}")
         else:
             preset = get_preset("v3mod2")
-    model = DiT(preset.model)
-    C = preset.model.input_channels
+    import dataclasses
+
+    mcfg = preset.model
+    if args.int8:
+        mcfg = dataclasses.replace(mcfg, matmul_precision="int8",
+                                   quantize_head=args.quantize_head)
+    model = DiT(mcfg)
+    C = mcfg.input_channels
 
     import jax.numpy as jnp
 
@@ -105,10 +118,9 @@ def main(argv=None):
         codec = DAC.random_init(0)
 
     norm = Normalizer(*load_stats(args.stats))
-    import dataclasses
-
     scfg = dataclasses.replace(
-        preset.sampler, num_steps=args.steps, cfg_scale=args.cfg_scale
+        preset.sampler, num_steps=args.steps, cfg_scale=args.cfg_scale,
+        cfg_interval=tuple(args.cfg_interval),
     )
     pipe = InferencePipeline(model, params, norm, codec, scfg)
 

@@ -235,7 +235,10 @@ class Preset:
             data=DataConfig(**d["data"]),
             sampler=SamplerConfig(**{
                 **d["sampler"],
-                "cfg_interval": tuple(d["sampler"]["cfg_interval"]),
+                # tolerate preset.json written before this field existed
+                "cfg_interval": tuple(
+                    d["sampler"].get("cfg_interval", (0.0, 1.0))
+                ),
             }),
         )
 
