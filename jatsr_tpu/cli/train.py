@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--grad-accum", type=int, default=None)
     ap.add_argument("--cfg-dropout", type=float, default=None,
                     help="sample-level condition dropout (CFG training)")
+    ap.add_argument("--save-last-every", type=int, default=None,
+                    help="save the `last` checkpoint every N epochs "
+                         "(default 1 = reference parity; raise on slow "
+                         "device->host links)")
     ap.add_argument("--run-name", default=None,
                     help="run dir name (default: MMDDHHMM timestamp)")
     ap.add_argument("--profile-steps", type=int, default=0,
@@ -80,6 +84,8 @@ def main(argv=None):
         train_over["grad_accum_steps"] = args.grad_accum
     if args.cfg_dropout is not None:
         train_over["cfg_dropout_prob"] = args.cfg_dropout
+    if args.save_last_every is not None:
+        train_over["save_last_every_epochs"] = args.save_last_every
     if train_over:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, **train_over)

@@ -164,6 +164,11 @@ class TrainConfig:
     # Keep only the newest N interval checkpoints (0 = keep all; the
     # reference accumulates interval_step_*.pt without bound).
     keep_interval_checkpoints: int = 3
+    # Save the `last` checkpoint every N epochs (1 = reference parity).
+    # On slow device->host links (tunnelled chips, networked fs) per-epoch
+    # full-state pulls can dominate epoch time; `best` is still saved
+    # whenever validation improves, and interrupt-save always fires.
+    save_last_every_epochs: int = 1
     log_interval_steps: int = 10
 
     # Parallelism: data-parallel shards x tensor-parallel shards.

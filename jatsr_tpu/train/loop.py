@@ -310,8 +310,10 @@ class Trainer:
                     break
 
             self._last_completed_epoch = epoch
-            self.ckpt.save("last", self.state, epoch, self.best_val_loss,
-                           extra)
+            every = max(1, tcfg.save_last_every_epochs)
+            if (epoch + 1) % every == 0 or epoch == num_epochs - 1:
+                self.ckpt.save("last", self.state, epoch, self.best_val_loss,
+                               extra)
             mean_train_loss = float(epoch_loss) / max(epoch_batches, 1)
             self._log({"EpochLoss": mean_train_loss}, epoch, "Train")
             val = self.validate()

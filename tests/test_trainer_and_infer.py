@@ -414,3 +414,27 @@ def test_mesh_batch_divisibility_guard(tmp_path):
     with pytest.raises(ValueError, match="divisible"):
         Trainer(preset, data_dir=str(tmp_path / "data"), mesh=make_mesh(4, 2),
                 run_name="66666666", writer=False)
+
+
+def test_save_last_cadence(tmp_path):
+    """save_last_every_epochs=2: `last` lands on epochs 1 and 3 (and the
+    final epoch always saves), `best` still tracks every improvement."""
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)
+    preset = dataclasses.replace(
+        preset, train=dataclasses.replace(
+            preset.train, num_epochs=3, save_last_every_epochs=2,
+        )
+    )
+    tr = Trainer(preset, data_dir=str(tmp_path / "data"),
+                 run_name="31313131", writer=False)
+    tr.writer = None
+    saves = []
+    orig = tr.ckpt.save
+    tr.ckpt.save = lambda name, state, epoch, *a, **k: (
+        saves.append((name, epoch)), orig(name, state, epoch, *a, **k))
+    tr.fit(verbose=False)
+    last_epochs = [e for n, e in saves if n == "last"]
+    assert last_epochs == [1, 2]  # epoch 1 (cadence) + epoch 2 (final)
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "31313131"
+    assert (run_dir / "last").exists()
