@@ -34,8 +34,12 @@ def main():
     ap.add_argument("--cfg-scale", type=float, default=3.0)
     ap.add_argument("--seconds-per-chunk", type=float, default=16.0)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--int8", action="store_true",
-                    help="dynamic W8A8 serving mode on the big projections")
+    ap.add_argument("--int8", action="store_true", default=True,
+                    help="dynamic W8A8 serving mode on the big projections "
+                         "(DEFAULT: quality-gated at LSD/Mel deltas "
+                         "<= 0.02 dB vs bf16, see PERF.md round 2)")
+    ap.add_argument("--bf16", dest="int8", action="store_false",
+                    help="disable int8; run the bf16 parity path")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to final_proj (quality-gated knob)")
     ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])

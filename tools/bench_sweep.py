@@ -18,10 +18,12 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 INFER_CONFIGS = [
-    ("bf16 B=8 (default)", ["--batch", "8"]),
-    ("bf16 B=16", ["--batch", "16"]),
-    ("int8 B=8", ["--batch", "8", "--int8"]),
-    ("pallas-attn B=8", ["--batch", "8", "--attention", "pallas"]),
+    ("int8 B=8 (default)", ["--batch", "8"]),
+    ("bf16 B=8", ["--batch", "8", "--bf16"]),
+    ("int8 B=16", ["--batch", "16"]),
+    ("int8+head B=8", ["--batch", "8", "--quantize-head"]),
+    ("int8 25-step B=8", ["--batch", "8", "--steps", "25"]),
+    ("int8 fused-quant B=8", ["--batch", "8"], {"JATSR_INT8_IMPL": "fused"}),
 ]
 
 TRAIN_CONFIGS = [
@@ -31,9 +33,14 @@ TRAIN_CONFIGS = [
 ]
 
 
-def run(cmd, name):
+def run(cmd, name, env=None):
     print(f"=== {name}: {' '.join(cmd)}", flush=True)
-    proc = subprocess.run(cmd, capture_output=True, text=True)
+    full_env = None
+    if env:
+        import os
+
+        full_env = {**os.environ, **env}
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=full_env)
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
             print(line, flush=True)
@@ -50,8 +57,11 @@ def main():
     args = ap.parse_args()
 
     extra = ["--quick"] if args.quick else []
-    for name, flags in INFER_CONFIGS:
-        run([sys.executable, str(ROOT / "bench.py"), *flags, *extra], name)
+    for cfg in INFER_CONFIGS:
+        name, flags = cfg[0], cfg[1]
+        env = cfg[2] if len(cfg) > 2 else None
+        run([sys.executable, str(ROOT / "bench.py"), *flags, *extra], name,
+            env=env)
     if not args.skip_train and not args.quick:
         for name, flags in TRAIN_CONFIGS:
             run([sys.executable, str(ROOT / "tools/train_bench.py"), *flags],
