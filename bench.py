@@ -122,11 +122,12 @@ def main():
 
     audio_sec = B * args.seconds_per_chunk if not args.quick else B * T * 512 / 44100
     value = audio_sec / best
+    precision = "int8" if args.int8 else "bf16"
     print(json.dumps({
         "metric": "audio_sec_generated_per_sec_per_chip",
         "value": round(value, 2),
         "unit": f"audio-sec/s/chip ({n_params/1e6:.0f}M DiT, "
-                f"{args.steps}-step CFG {args.cfg_scale})",
+                f"{args.steps}-step CFG {args.cfg_scale}, {precision})",
         "vs_baseline": round(value / A100_BASELINE_RTF, 3),
     }))
 

@@ -65,22 +65,31 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fused_kernel(a_ref, w_ref, ws_ref, out_ref, aq_ref, s_ref):
-    # Quantize the A row-block ONCE per i (j is the fastest grid axis, so
-    # the block and its scratch persist across the j sweep).
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        a = a_ref[:].astype(jnp.float32)
-        s = jnp.maximum(
-            jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
-        )
-        aq_ref[:] = jnp.round(a / s).astype(jnp.int8)
-        s_ref[:] = s
+def _pick_bn(N: int, target: int) -> int:
+    """Largest lane-aligned block <= target that divides N exactly — the
+    grid is N // bn programs, so a non-divisor silently leaves tail
+    columns of the output unwritten (observed as NaN garbage on chip)."""
+    for bn in (1024, 512, 384, 256, 128):
+        if bn <= target and N % bn == 0:
+            return bn
+    return N  # N < 128 is rejected by the caller's alignment assert
 
-    acc = jnp.dot(aq_ref[:], w_ref[:], preferred_element_type=jnp.int32)
-    out_ref[:] = (
-        acc.astype(jnp.float32) * s_ref[:] * ws_ref[:]
-    ).astype(out_ref.dtype)
+
+def _fused_kernel(a_ref, w_ref, ws_ref, out_ref):
+    # Quantize the A row-block in-register per grid step.  (A scratch-
+    # cached variant guarded by pl.when(j==0) produced NaNs on real
+    # hardware — interpret mode does not model Mosaic's scratch/tiling
+    # behaviour for (bm, 1) VMEM buffers; the recompute is VPU work that
+    # overlaps the MXU stream.)
+    a = a_ref[:].astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    a_q = jnp.round(a / s).astype(jnp.int8)
+    acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
+    out_ref[:] = (acc.astype(jnp.float32) * s * ws_ref[:]).astype(
+        out_ref.dtype
+    )
 
 
 @functools.partial(
@@ -108,7 +117,8 @@ def int8_matmul_fused(
     assert K == K2 and K % 128 == 0 and N % 128 == 0, (a.shape, w_q.shape)
 
     bm = block_m or (256 if K > 2560 else 512)
-    bn = block_n or min(1024 if K <= 2560 else 512, N)
+    bn = block_n or _pick_bn(N, 1024 if K <= 2560 else 512)
+    assert N % bn == 0, (N, bn)
     bm = min(bm, _round_up(M, 32))
     Mp = _round_up(M, bm)
     if Mp != M:
@@ -128,10 +138,6 @@ def int8_matmul_fused(
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bm, K), jnp.int8),
-            pltpu.VMEM((bm, 1), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
             bytes_accessed=Mp * K * 2 + K * N * (Mp // bm) + Mp * N * 2,
@@ -173,7 +179,8 @@ def int8_matmul(
     # widest bn that keeps (A + W) tiles ~<= 3 MB — wide bn amortises the
     # A-tile residency, bm=512 halves repeated W sweeps vs 256.
     bm = block_m or (256 if K > 5120 else 512)
-    bn = block_n or min(1024 if K <= 2560 else 512, N)
+    bn = block_n or _pick_bn(N, 1024 if K <= 2560 else 512)
+    assert N % bn == 0, (N, bn)
     bm = min(bm, _round_up(M, 32))
     Mp = _round_up(M, bm)
     if Mp != M:

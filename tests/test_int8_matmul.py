@@ -86,3 +86,26 @@ def test_int8_dot_general_fallback_general_contraction():
     got = int8_dot_general(a, b, dn)
     ref = jax.lax.dot_general(a, b, dn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("N", [384, 1280])
+def test_default_tiles_cover_all_output_columns(N):
+    """Regression: auto-picked bn must divide N — a non-divisor makes the
+    grid skip tail columns, leaving uninitialised output (NaN on chip)."""
+    from jatsr_tpu.ops.int8_matmul import int8_matmul_fused
+
+    rs = np.random.RandomState(5)
+    a = jnp.asarray(rs.randn(64, 128), jnp.bfloat16)
+    w = jnp.asarray(rs.randn(128, N) * 0.05, jnp.bfloat16)
+    a_q, a_s = quantize_rows(a)
+    w_q, w_s = quantize_cols(w)
+    got_f = np.asarray(int8_matmul_fused(a, w_q, w_s, interpret=True))
+    got_q = np.asarray(int8_matmul(a_q, a_s, w_q, w_s, interpret=True))
+    ref = np.asarray((
+        jax.lax.dot_general(a_q, w_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        .astype(jnp.float32) * a_s * w_s
+    ).astype(jnp.bfloat16))
+    np.testing.assert_array_equal(got_f, ref)
+    np.testing.assert_array_equal(got_q, ref)
+    assert not np.isnan(got_f.astype(np.float32)).any()

@@ -1,0 +1,110 @@
+"""Capture a jax.profiler trace of one sampler call and summarise op time.
+
+Answers "where do the milliseconds go" for the serving path (PERF.md's
+per-forward budget).  Writes the raw trace under --out and, when
+tensorboard-plugin-profile can parse it, prints the top-N ops by self
+time.
+
+Usage: python tools/profile_sampler.py [--int8/--bf16] [--steps 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import gzip
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def summarize_trace(out_dir: str, top: int = 25):
+    """Parse the trace_viewer JSON (trace.json.gz) into self-time per op."""
+    files = sorted(glob.glob(f"{out_dir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        print("[profile] no trace.json.gz found; raw xplane only")
+        return
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # keep TPU device lanes only (skip host python/runtime threads)
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "/device" in n.lower()}
+    tot = defaultdict(float)
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            name = e.get("name", "?")
+            tot[name] += e.get("dur", 0.0)
+    ranked = sorted(tot.items(), key=lambda kv: -kv[1])
+    total = sum(tot.values())
+    print(f"[profile] device total {total/1e3:.2f} ms across "
+          f"{len(ranked)} op names; top {top}:")
+    for name, us in ranked[:top]:
+        print(f"  {us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%  {name[:100]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4,
+                    help="ODE steps (a few are enough; per-step cost is flat)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--bf16", dest="int8", action="store_false", default=True)
+    ap.add_argument("--quantize-head", action="store_true")
+    ap.add_argument("--out", default="/tmp/jatsr_profile")
+    ap.add_argument("--summarize-only", default=None,
+                    help="skip capture; summarise an existing trace dir")
+    args = ap.parse_args()
+
+    if args.summarize_only:
+        summarize_trace(args.summarize_only)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatsr_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from jatsr_tpu.configs import SamplerConfig, get_preset
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.sampling import FlowSampler
+
+    preset = get_preset("v3")
+    mcfg = dataclasses.replace(
+        preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
+        matmul_precision="int8" if args.int8 else "bf16",
+        quantize_head=args.quantize_head,
+    )
+    model = DiT(mcfg)
+    B, T, C = args.batch, 1378, mcfg.input_channels
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.normal(key, (B, T, C), jnp.float32)
+    params = model.init({"params": key, "dropout": key},
+                        cond, jnp.zeros((B,), jnp.float32), cond)["params"]
+    sampler = FlowSampler(
+        lambda p, z, t, c: model.apply({"params": p}, z, t, c),
+        SamplerConfig(num_steps=args.steps, cfg_scale=3.0), params=params,
+    )
+
+    def run(i):
+        return float(sampler(jax.random.PRNGKey(i), cond).mean())
+
+    run(0)  # compile outside the trace
+    with jax.profiler.trace(args.out):
+        run(1)
+    print(f"[profile] trace written to {args.out}")
+    summarize_trace(args.out)
+
+
+if __name__ == "__main__":
+    main()
