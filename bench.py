@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to final_proj (quality-gated knob)")
     ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--scores-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="attention score-matrix storage dtype (bfloat16 "
+                         "halves the dominant attention HBM cost; "
+                         "quality-gated knob)")
     ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
                     metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -80,6 +85,7 @@ def main():
         matmul_precision="int8" if args.int8 else "bf16",
         quantize_head=args.quantize_head,
         attention_impl=args.attention,
+        scores_dtype=args.scores_dtype,
     )
     model = DiT(mcfg)
 

@@ -53,6 +53,11 @@ class ModelConfig:
     # "rope" (v2+, ref jat_audiosr_v2.py:50) | "learned" (v1 legacy:
     # learnable absolute positions, ref jat_audiosr.py:186-199).
     pos_embed: str = "rope"
+    # QKV / output projection biases.  The v1-legacy model uses
+    # nn.MultiheadAttention whose projections carry biases
+    # (ref jat_audiosr.py:95); v2+ GQA projections are bias-free
+    # (ref jat_audiosr_v2.py:110-117).
+    attention_bias: bool = False
     rope_base: float = 10000.0
     rope_max_seq_len: int = 4096  # ref jat_audiosr_v2.py:53
     max_len: int = 2048  # max patch-sequence length (ref jat_audiosr_v2.py:338)
@@ -62,6 +67,14 @@ class ModelConfig:
     param_dtype: str = "float32"
     # Attention backend: "xla" (einsum, default) or "pallas" (fused kernel).
     attention_impl: str = "xla"
+    # Storage dtype of the materialised attention-score matrix on the XLA
+    # path.  "float32" = exact (default).  "bfloat16" halves the HBM
+    # round-trip of the [B, H, N, N] scores (the dominant attention cost at
+    # serving geometry): logits still accumulate in fp32 on the MXU and the
+    # row-max is subtracted in fp32 BEFORE the downcast, so only the
+    # post-subtraction logits round to bf16 (~0.4% relative on the softmax
+    # weights).  Serving knob — quality-gate before defaulting.
+    scores_dtype: str = "float32"
     # Projection matmul precision: "bf16" (default) or "int8" (dynamic W8A8
     # on the big projections — serving mode; ~2x MXU rate on v5e).
     matmul_precision: str = "bf16"
@@ -101,6 +114,14 @@ class LossConfig:
     freq_weight: float = 0.5
     ms_weight: float = 0.5
     consistency_weight: float = 0.1
+    # Frequency-loss variant: "fixed" (log-mag + low-30% phase, ref
+    # train_ddp_v3mod2.py:53-123) or "buggy_v3mod1" — the historical
+    # high-freq-weighted linear-magnitude loss that produced "metallic"
+    # artifacts (ref train_ddp_v3mod1.py:53-112).  Kept as the NEGATIVE
+    # CONTROL the reference retains: training with it should reproduce the
+    # failure mode, not be used for production runs.
+    freq_loss_variant: str = "fixed"
+    high_freq_weight: float = 2.0  # buggy variant's linear ramp endpoint
     low_freq_phase_ratio: float = 0.3  # phase constraint on lowest 30% bins
     ms_scales: Tuple[int, ...] = (1, 2, 4)
     strict_cutoff: float = 0.30  # consistency: complex-L1 band
@@ -260,6 +281,19 @@ def _mk(name, model_kw, loss_kw, train_kw) -> Preset:
 _V3_MODEL = dict(hidden_size=1280, depth=28, num_q_heads=20, num_kv_heads=4)
 
 _PRESETS = {
+    # Legacy v1 architecture: plain MHA (12 heads == KV heads, biased
+    # projections), learnable absolute positions, bottleneck 128
+    # (ref src/models/jat_audiosr.py:138-222 defaults; ~79 M).  The
+    # reference's own v1 *training* script uses the V2 model — this preset
+    # is the model-architecture parity point, not a training recipe.
+    "v1legacy": _mk(
+        "v1legacy",
+        dict(hidden_size=768, depth=12, num_q_heads=12, num_kv_heads=12,
+             bottleneck_dim=128, pos_embed="learned", attention_bias=True,
+             dropout=0.0, drop_path_rate=0.0),
+        dict(reconstruction="mse"),
+        dict(),
+    ),
     # 60 M sanity config (ref train_ddp_v1.py:64-72).
     "v1": _mk(
         "v1",
@@ -293,6 +327,18 @@ _PRESETS = {
         dict(**_V3_MODEL, norm="rms"),
         dict(reconstruction="mse"),
         dict(cfg_dropout_prob=0.1, condition_noise_ratio=0.02),
+    ),
+    # NEGATIVE CONTROL: the historical buggy frequency loss that produced
+    # "metallic" artifacts (ref train_ddp_v3mod1.py:53-112; no consistency
+    # term, freq/ms weights 0.5/0.5 at latent weight 0.3,
+    # train_ddp_v3mod1.py:245-247).  Kept so the failure mode stays
+    # reproducible — do not train production models with this preset.
+    "v3mod1": _mk(
+        "v3mod1",
+        dict(**_V3_MODEL),
+        dict(reconstruction="mse", use_latent_perceptual=True,
+             freq_loss_variant="buggy_v3mod1", consistency_weight=0.0),
+        dict(),
     ),
     # Recommended config: latent-perceptual stack (ref train_ddp_v3mod2.py).
     "v3mod2": _mk(

@@ -60,6 +60,30 @@ def frequency_domain_loss(pred: jax.Array, target: jax.Array,
     return 1.0 * log_mag_loss + 0.1 * phase_loss
 
 
+def buggy_frequency_domain_loss(pred: jax.Array, target: jax.Array,
+                                high_freq_weight: float = 2.0) -> jax.Array:
+    """HISTORICAL NEGATIVE CONTROL (ref train_ddp_v3mod1.py:53-112).
+
+    ``0.5*complex-L1 + 0.2*linear-magnitude-L1 + 0.5*high-freq-weighted
+    magnitude L1`` with a linear 1 -> ``high_freq_weight`` ramp over the
+    rFFT bins.  This is the loss that produced "metallic" artifacts — the
+    linear-magnitude terms over-constrain high-frequency energy where the
+    model should be free.  Kept (like the reference keeps train_ddp_v3mod1)
+    so the failure mode stays reproducible; superseded by
+    :func:`frequency_domain_loss`.
+    """
+    pf = _rfft_time(pred)
+    tf = _rfft_time(target)
+    complex_l1 = jnp.abs(pf - tf).mean()
+    p_mag, t_mag = jnp.abs(pf), jnp.abs(tf)
+    mag_l1 = jnp.abs(p_mag - t_mag).mean()
+    nbins = pf.shape[1]
+    w = jnp.linspace(1.0, high_freq_weight, nbins,
+                     dtype=jnp.float32)[None, :, None]
+    weighted_mag = (w * jnp.abs(p_mag - t_mag)).mean()
+    return 0.5 * complex_l1 + 0.2 * mag_l1 + 0.5 * weighted_mag
+
+
 def _avg_pool_time(x: jax.Array, s: int) -> jax.Array:
     """AvgPool1d(kernel=stride=s) over time; trailing remainder dropped
     (torch floor semantics)."""
@@ -117,7 +141,10 @@ def latent_perceptual_loss(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Combined freq + multi-scale + consistency
     (ref train_ddp_v3mod2.py:274-321)."""
-    freq = frequency_domain_loss(pred, target, cfg.low_freq_phase_ratio)
+    if cfg.freq_loss_variant == "buggy_v3mod1":
+        freq = buggy_frequency_domain_loss(pred, target, cfg.high_freq_weight)
+    else:
+        freq = frequency_domain_loss(pred, target, cfg.low_freq_phase_ratio)
     ms = multi_scale_loss(pred, target, cfg.ms_scales)
     cons = consistency_loss(pred, lr, cfg.strict_cutoff, cfg.soft_cutoff)
     total = cfg.freq_weight * freq + cfg.ms_weight * ms \

@@ -102,7 +102,7 @@ class GQAttention(nn.Module):
         G = cfg.num_groups
         dtype = jnp.dtype(cfg.dtype)
         dense = lambda feat, name: nn.Dense(
-            feat, use_bias=False, dtype=dtype,
+            feat, use_bias=cfg.attention_bias, dtype=dtype,
             param_dtype=jnp.dtype(cfg.param_dtype), name=name,
             dot_general=_dot_general_for(cfg))
 
@@ -131,6 +131,13 @@ class GQAttention(nn.Module):
             "bnkgd,bmkd->bkgnm", q, k, preferred_element_type=jnp.float32
         )
         scores = scores * (1.0 / math.sqrt(D))
+        if cfg.scores_dtype == "bfloat16":
+            # Subtract the fp32 row-max inside the einsum epilogue, store the
+            # (<= 0) shifted logits as bf16 — halves the score matrix's HBM
+            # write+read, the dominant attention cost at N=345.  exp/sum
+            # still run in fp32 downstream.
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            scores = (scores - m).astype(jnp.bfloat16)
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if cfg.dropout > 0.0:
             weights = nn.Dropout(rate=cfg.dropout)(
@@ -262,6 +269,13 @@ class DiT(nn.Module):
         assert C == cfg.input_channels, (C, cfg.input_channels)
         P = cfg.patch_len
 
+        # Cast to compute dtype FIRST: pad/concat/reshape are value-preserving,
+        # and doing them in fp32 doubles the HBM traffic of the [B, T, 2C]
+        # patchify intermediates (profiled at ~1.1 ms/step at serving
+        # geometry before this reordering).
+        x_t = x_t.astype(dtype)
+        x_cond = x_cond.astype(dtype)
+
         # Pad T to a multiple of the patch length (jat_audiosr_v2.py:412-416).
         pad = (-T_orig) % P
         if pad:
@@ -275,7 +289,7 @@ class DiT(nn.Module):
         # Patchify: concat channels, then reshape — time-major means no
         # permutes (reference needs permute(0,2,1,3), jat_audiosr_v2.py:226).
         x_in = jnp.concatenate([x_t, x_cond], axis=-1)  # [B, T, 2C]
-        x_in = x_in.reshape(B, N, P * 2 * C).astype(dtype)
+        x_in = x_in.reshape(B, N, P * 2 * C)
 
         # Bottleneck patch embed: Dense(P*2C -> bottleneck) -> GELU -> Dense
         # (jat_audiosr_v2.py:204-208).

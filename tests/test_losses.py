@@ -139,3 +139,33 @@ def test_bf16_inputs_are_promoted_to_fp32():
         np.asarray(a.astype(jnp.float32)), np.asarray(b.astype(jnp.float32))
     )
     np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_buggy_freq_loss_matches_numpy():
+    """Negative-control loss parity (ref train_ddp_v3mod1.py:53-112)."""
+    from jatsr_tpu.losses.perceptual import buggy_frequency_domain_loss
+
+    pf = np.fft.rfft(PRED, axis=1)
+    tf = np.fft.rfft(TARGET, axis=1)
+    complex_l1 = np.mean(np.abs(pf - tf))
+    mag = np.mean(np.abs(np.abs(pf) - np.abs(tf)))
+    w = np.linspace(1.0, 2.0, pf.shape[1])[None, :, None]
+    wmag = np.mean(w * np.abs(np.abs(pf) - np.abs(tf)))
+    want = 0.5 * complex_l1 + 0.2 * mag + 0.5 * wmag
+    got = float(buggy_frequency_domain_loss(jnp.asarray(PRED),
+                                            jnp.asarray(TARGET)))
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_v3mod1_preset_uses_buggy_variant():
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.losses.perceptual import buggy_frequency_domain_loss
+
+    cfg = get_preset("v3mod1").loss
+    assert cfg.freq_loss_variant == "buggy_v3mod1"
+    assert cfg.consistency_weight == 0.0  # v3mod1 has no consistency term
+    total, m = latent_perceptual_loss(
+        jnp.asarray(PRED), jnp.asarray(TARGET), jnp.asarray(LR), cfg)
+    want_freq = float(buggy_frequency_domain_loss(jnp.asarray(PRED),
+                                                  jnp.asarray(TARGET)))
+    np.testing.assert_allclose(float(m["freq_loss"]), want_freq, rtol=1e-6)

@@ -135,3 +135,40 @@ def test_learned_pos_embed_v1_mode():
     o1 = model.apply({"params": params2}, x, t, c)
     o2 = model.apply({"params": params2}, jnp.roll(x, 4, axis=1), t, c)
     assert float(jnp.abs(o1 - o2).max()) > 1e-5
+
+
+def test_v1legacy_mha_bias_mode():
+    """v1-legacy parity: MHA (Q==KV heads) with biased projections and
+    learned positions (ref src/models/jat_audiosr.py:95, 138-222)."""
+    from jatsr_tpu.configs import get_preset
+
+    preset = get_preset("v1legacy").model
+    assert preset.num_q_heads == preset.num_kv_heads == 12
+    assert preset.attention_bias and preset.pos_embed == "learned"
+    assert preset.hidden_size == 768 and preset.bottleneck_dim == 128
+
+    cfg = ModelConfig(**{**TINY.__dict__, "attention_bias": True,
+                         "pos_embed": "learned",
+                         "num_kv_heads": TINY.num_q_heads})
+    model, params, (x, t, c) = _init(cfg)
+    attn = params["blocks"]["attn"]
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        assert "bias" in attn[proj], proj  # MHA projections carry biases
+    out = model.apply({"params": params}, x, t, c)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_scores_close_to_fp32():
+    """scores_dtype="bfloat16" stores the shifted logits in bf16; the
+    softmax weights move by < 1% so outputs stay close to the fp32 path."""
+    cfg32 = ModelConfig(**{**TINY.__dict__, "scores_dtype": "float32"})
+    cfg16 = ModelConfig(**{**TINY.__dict__, "scores_dtype": "bfloat16"})
+    model32, params, (x, t, c) = _init(cfg32)
+    # perturb away from the zero-init head so outputs are non-trivial
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+    o32 = model32.apply({"params": params}, x, t, c)
+    o16 = DiT(cfg16).apply({"params": params}, x, t, c)
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                               atol=0.02, rtol=0.02)
+    assert not np.array_equal(np.asarray(o16), np.asarray(o32))
