@@ -34,10 +34,17 @@ def main():
     ap.add_argument("--cfg-scale", type=float, default=3.0)
     ap.add_argument("--seconds-per-chunk", type=float, default=16.0)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--precision", default=None,
+                    choices=["bf16", "int8", "int8_static"],
+                    help="projection matmul precision (default int8_static: "
+                         "bit-identical to the quality-gated dynamic int8 "
+                         "path — tests/test_int8_matmul.py proves "
+                         "equivalence — with weight quantisation done once "
+                         "at load)")
     ap.add_argument("--int8", action="store_true", default=True,
                     help="dynamic W8A8 serving mode on the big projections "
-                         "(DEFAULT: quality-gated at LSD/Mel deltas "
-                         "<= 0.02 dB vs bf16, see PERF.md round 2)")
+                         "(quality-gated at LSD/Mel deltas <= 0.02 dB vs "
+                         "bf16, see PERF.md round 2)")
     ap.add_argument("--bf16", dest="int8", action="store_false",
                     help="disable int8; run the bf16 parity path")
     ap.add_argument("--quantize-head", action="store_true",
@@ -79,10 +86,11 @@ def main():
     from jatsr_tpu.models import DiT, count_params
     from jatsr_tpu.sampling import FlowSampler
 
+    precision = args.precision or ("int8_static" if args.int8 else "bf16")
     preset = get_preset("tiny" if args.quick else "v3")
     mcfg = dataclasses.replace(
         preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
-        matmul_precision="int8" if args.int8 else "bf16",
+        matmul_precision=precision,
         quantize_head=args.quantize_head,
         attention_impl=args.attention,
         scores_dtype=args.scores_dtype,
@@ -128,7 +136,6 @@ def main():
 
     audio_sec = B * args.seconds_per_chunk if not args.quick else B * T * 512 / 44100
     value = audio_sec / best
-    precision = "int8" if args.int8 else "bf16"
     print(json.dumps({
         "metric": "audio_sec_generated_per_sec_per_chip",
         "value": round(value, 2),

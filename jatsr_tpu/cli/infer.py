@@ -78,12 +78,11 @@ def main(argv=None):
             preset = get_preset("v3mod2")
     import dataclasses
 
-    mcfg = preset.model
-    if args.int8:
-        mcfg = dataclasses.replace(mcfg, matmul_precision="int8",
-                                   quantize_head=args.quantize_head)
-    model = DiT(mcfg)
-    C = mcfg.input_channels
+    # Checkpoints are stored/converted against the unquantized param layout;
+    # int8 serving swaps the model AFTER restore and pre-quantizes the
+    # weights once (ops/quant.py:quantize_params_static).
+    model = DiT(preset.model)
+    C = preset.model.input_channels
 
     import jax.numpy as jnp
 
@@ -108,6 +107,24 @@ def main(argv=None):
         params = state.params
         print(f"[infer] restored {args.checkpoint} @ step "
               f"{meta['global_step']}")
+
+    if args.int8:
+        from ..ops.quant import quantize_params_static
+
+        mcfg = dataclasses.replace(
+            preset.model, matmul_precision="int8_static",
+            quantize_head=args.quantize_head,
+            dropout=0.0, drop_path_rate=0.0,
+        )
+        model = DiT(mcfg)
+        dummy = jnp.zeros((1, 8, C), jnp.float32)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0)},
+                dummy, jnp.zeros((1,), jnp.float32), dummy)["params"])
+        params = quantize_params_static(params, shapes)
+        print("[infer] int8 serving: weights pre-quantized (static W8A8)")
 
     if args.dac_weights:
         from ..models.dac.convert import load_torch_checkpoint

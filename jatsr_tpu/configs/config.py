@@ -75,8 +75,12 @@ class ModelConfig:
     # post-subtraction logits round to bf16 (~0.4% relative on the softmax
     # weights).  Serving knob — quality-gate before defaulting.
     scores_dtype: str = "float32"
-    # Projection matmul precision: "bf16" (default) or "int8" (dynamic W8A8
-    # on the big projections — serving mode; ~2x MXU rate on v5e).
+    # Projection matmul precision: "bf16" (default), "int8" (dynamic W8A8
+    # on the big projections — serving mode; ~2x MXU rate on v5e), or
+    # "int8_static" (int8 kernels ARE the parameters: weight quantisation
+    # happens once at load via ops.quant.quantize_params_static instead of
+    # per layer per ODE step, and weight HBM halves; weight numerics are
+    # identical to "int8").
     matmul_precision: str = "bf16"
     # Extend int8 to the output head (final_proj, ~58 GFLOP/forward at v3
     # geometry).  Separate knob: the head writes the predicted latent

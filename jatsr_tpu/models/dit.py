@@ -101,10 +101,9 @@ class GQAttention(nn.Module):
         Hq, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
         G = cfg.num_groups
         dtype = jnp.dtype(cfg.dtype)
-        dense = lambda feat, name: nn.Dense(
-            feat, use_bias=cfg.attention_bias, dtype=dtype,
-            param_dtype=jnp.dtype(cfg.param_dtype), name=name,
-            dot_general=_dot_general_for(cfg))
+        mk = _dense_factory(cfg)
+        dense = lambda feat, name: mk(feat, name,
+                                      use_bias=cfg.attention_bias)
 
         q = dense(Hq * D, "q_proj")(x).reshape(B, N, Hq, D)
         k = dense(Hkv * D, "k_proj")(x).reshape(B, N, Hkv, D)
@@ -166,6 +165,30 @@ def _dot_general_for(cfg: ModelConfig):
     return None
 
 
+def _dense_factory(cfg: ModelConfig):
+    """Factory for the QUANTIZED-ELIGIBLE projections (patch embed, q/k/v/
+    out, MLP): nn.Dense for bf16 and dynamic-int8 modes, ``QuantDense``
+    (int8 kernels as parameters, ops/quant.py) for ``int8_static`` — the
+    serving mode where weight quantisation happens once at load instead of
+    per layer per ODE step."""
+    dtype = jnp.dtype(cfg.dtype)
+    pdtype = jnp.dtype(cfg.param_dtype)
+    if cfg.matmul_precision == "int8_static":
+        from ..ops.quant import QuantDense
+
+        def make(feat, name, use_bias=True):
+            return QuantDense(feat, use_bias=use_bias, dtype=dtype,
+                              param_dtype=pdtype, name=name)
+    else:
+        dg = _dot_general_for(cfg)
+
+        def make(feat, name, use_bias=True):
+            return nn.Dense(feat, use_bias=use_bias, dtype=dtype,
+                            param_dtype=pdtype, name=name, dot_general=dg)
+
+    return make
+
+
 def _norm(cfg: ModelConfig, name: str):
     """Affine-free norm: LayerNorm for v2 (jat_audiosr_v2.py:242), RMSNorm
     for v3 (jat_audiosr_v3.py:261)."""
@@ -224,13 +247,11 @@ class DiTBlock(nn.Module):
         h = _norm(cfg, "norm2")(x)
         h = h * (1 + expand(scale_mlp)) + expand(shift_mlp)
         mlp_dim = int(H * cfg.mlp_ratio)
-        dg = _dot_general_for(cfg)
-        h = nn.Dense(mlp_dim, dtype=dtype, param_dtype=pdtype, name="mlp_in",
-                     dot_general=dg)(h)
+        mk = _dense_factory(cfg)
+        h = mk(mlp_dim, "mlp_in")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(H, dtype=dtype, param_dtype=pdtype, name="mlp_out",
-                     dot_general=dg)(h)
+        h = mk(H, "mlp_out")(h)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
         h = expand(gate_mlp) * h
         if not deterministic:
@@ -293,12 +314,10 @@ class DiT(nn.Module):
 
         # Bottleneck patch embed: Dense(P*2C -> bottleneck) -> GELU -> Dense
         # (jat_audiosr_v2.py:204-208).
-        dg = _dot_general_for(cfg)
-        h = nn.Dense(cfg.bottleneck_dim, dtype=dtype, param_dtype=pdtype,
-                     name="patch_in", dot_general=dg)(x_in)
+        mk = _dense_factory(cfg)
+        h = mk(cfg.bottleneck_dim, "patch_in")(x_in)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(cfg.hidden_size, dtype=dtype, param_dtype=pdtype,
-                     name="patch_out", dot_general=dg)(h)
+        h = mk(cfg.hidden_size, "patch_out")(h)
 
         # v1 legacy: learnable absolute positional embedding added after the
         # patch embed (ref jat_audiosr.py:186-199); RoPE is skipped inside
@@ -352,13 +371,17 @@ class DiT(nn.Module):
         # Final layer: affine-free norm + zero-init Dense(H -> P*C)
         # (jat_audiosr_v2.py:358-363, 379-381).
         h = _norm(cfg, "final_norm")(h)
-        h = nn.Dense(
-            P * C, dtype=dtype, param_dtype=pdtype,
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            name="final_proj",
-            dot_general=dg if (cfg.quantize_head
-                               and cfg.matmul_precision == "int8") else None,
-        )(h)
+        if cfg.quantize_head and cfg.matmul_precision == "int8_static":
+            h = mk(P * C, "final_proj")(h)
+        else:
+            h = nn.Dense(
+                P * C, dtype=dtype, param_dtype=pdtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="final_proj",
+                dot_general=(_dot_general_for(cfg) if cfg.quantize_head
+                             else None),
+            )(h)
 
         # Unpatchify (pure reshape in time-major layout) and trim padding.
         out = h.reshape(B, T, C)

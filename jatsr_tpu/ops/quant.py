@@ -41,6 +41,48 @@ import jax.numpy as jnp
 from .int8_matmul import _INV127, int8_matmul, int8_matmul_fused
 
 
+def w8a8_dot(lhs, w_q, w_scale):
+    """``lhs [..., K] @ (w_q * w_scale) -> [..., N]`` with dynamic per-row
+    activation quantisation.  ``w_q`` is int8 ``[K, N]``, ``w_scale`` fp32
+    ``[1, N]`` (pre-quantized weights — the static path — or quantized by
+    the caller).  Kernel choice via JATSR_INT8_IMPL (xla default / pallas /
+    fused), mirroring :func:`int8_dot_general`.
+    """
+    out_dtype = lhs.dtype
+    K, N = w_q.shape
+    lead = lhs.shape[:-1]
+    M = int(np.prod(lead)) if lead else 1
+    impl = os.environ.get("JATSR_INT8_IMPL")
+    aligned = K % 128 == 0 and N % 128 == 0 and M >= 32
+
+    if impl == "fused" and jax.default_backend() == "tpu" and aligned:
+        out = int8_matmul_fused(
+            lhs.reshape(M, K), w_q, w_scale.reshape(1, N),
+            out_dtype=out_dtype,
+        )
+        return out.reshape(*lead, N)
+
+    lhs_f = lhs.astype(jnp.float32)
+    a_scale = jnp.max(jnp.abs(lhs_f), axis=-1, keepdims=True) * _INV127
+    a_q = jnp.round(lhs_f / jnp.maximum(a_scale, 1e-12)).astype(jnp.int8)
+
+    if impl == "pallas" and jax.default_backend() == "tpu" and aligned:
+        out = int8_matmul(
+            a_q.reshape(M, K), a_scale.reshape(M, 1), w_q,
+            w_scale.reshape(1, N), out_dtype=out_dtype,
+        )
+        return out.reshape(*lead, N)
+
+    # The dot runs at the activation's own rank (reshaping around it breaks
+    # producer fusion: -32% end-to-end, PERF.md round 2).
+    out = jax.lax.dot_general(
+        a_q, w_q, (((lhs.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    return (out * a_scale * w_scale.reshape((1,) * (out.ndim - 1) + (N,))
+            ).astype(out_dtype)
+
+
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
                      preferred_element_type=None):
     ((lc, rc), (lb, rb)) = dimension_numbers
@@ -51,44 +93,107 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
             lhs, rhs, dimension_numbers, precision=precision,
             preferred_element_type=preferred_element_type,
         )
-    (lcd,), (rcd,) = lc, rc
-    out_dtype = lhs.dtype
-    K, N = rhs.shape
-
     rhs_f = rhs.astype(jnp.float32)
-    w_scale = jnp.max(jnp.abs(rhs_f), axis=rcd, keepdims=True) * _INV127
+    w_scale = jnp.max(jnp.abs(rhs_f), axis=0, keepdims=True) * _INV127
     w_q = jnp.round(rhs_f / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
+    return w8a8_dot(lhs, w_q, w_scale)
 
-    lead = lhs.shape[:-1]
-    M = int(np.prod(lead)) if lead else 1
-    impl = os.environ.get("JATSR_INT8_IMPL")
-    aligned = K % 128 == 0 and N % 128 == 0 and M >= 32
 
-    # Fused kernel: activations cross HBM once as bf16; per-row scales are
-    # computed in VMEM (ops/int8_matmul.py).
-    if impl == "fused" and jax.default_backend() == "tpu" and aligned:
-        out = int8_matmul_fused(
-            lhs.reshape(M, K), w_q, w_scale.reshape(1, N),
-            out_dtype=out_dtype,
+# ---------------------------------------------------------------------------
+# Static (pre-quantized) weights: int8 kernels as real parameters
+# ---------------------------------------------------------------------------
+#
+# The dynamic path above re-quantizes the weights inside the model; under
+# the sampler's scan-over-layers + ODE fori_loop the quantisation of each
+# layer's dynamic-sliced weight stack CANNOT be hoisted by XLA, so it runs
+# depth x steps times (profiled at ~2.2 ms/step at v3 serving geometry).
+# ``QuantDense`` instead stores int8 kernels + fp32 per-output-channel
+# scales as the module's parameters; ``quantize_params_static`` converts a
+# trained bf16/f32 param tree once.  Weight numerics are identical to the
+# dynamic path (same symmetric absmax quantisation), and serving HBM for
+# the weights drops 2x (int8 vs bf16).
+
+from flax import linen as _nn  # noqa: E402  (after-jax import is deliberate)
+
+
+class QuantDense(_nn.Module):
+    """Serving Dense with int8 kernel + fp32 scale parameters.
+
+    Activation quantisation stays dynamic per-row (quality requires it);
+    the weight side is static.  Init produces random int8 weights at a
+    small scale (benchmarks / tests); real weights come from
+    :func:`quantize_params_static`.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @_nn.compact
+    def __call__(self, x):
+        K = x.shape[-1]
+        w_q = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(key, shape, -127, 128,
+                                                  jnp.int32).astype(jnp.int8),
+            (K, self.features),
         )
-        return out.reshape(*lead, N)
-
-    lhs_f = lhs.astype(jnp.float32)
-    a_scale = jnp.max(jnp.abs(lhs_f), axis=lcd, keepdims=True) * _INV127
-    a_q = jnp.round(lhs_f / jnp.maximum(a_scale, 1e-12)).astype(jnp.int8)
-
-    # Pallas opt-in (Mosaic tiling needs 2-D lane-aligned operands).
-    if impl == "pallas" and jax.default_backend() == "tpu" and aligned:
-        out = int8_matmul(
-            a_q.reshape(M, K), a_scale.reshape(M, 1), w_q,
-            w_scale.reshape(1, N), out_dtype=out_dtype,
+        # lecun_normal-ish magnitude so random-init outputs are sane.
+        w_scale = self.param(
+            "kernel_scale",
+            lambda key, shape: jnp.full(shape, (1.0 / np.sqrt(K)) * _INV127,
+                                        jnp.float32),
+            (1, self.features),
         )
-        return out.reshape(*lead, N)
+        out = w8a8_dot(x.astype(self.dtype), w_q, w_scale)
+        if self.use_bias:
+            b = self.param("bias", _nn.initializers.zeros,
+                           (self.features,), self.param_dtype)
+            out = out + b.astype(out.dtype)
+        return out
 
-    out = jax.lax.dot_general(
-        a_q, w_q, dimension_numbers, preferred_element_type=jnp.int32
-    ).astype(jnp.float32)
-    a_s = jnp.squeeze(a_scale, axis=lcd)
-    a_s = a_s.reshape(a_s.shape + (1,) * (rhs.ndim - 1))
-    w_s = jnp.squeeze(w_scale, axis=rcd)
-    return (out * a_s * w_s).astype(out_dtype)
+
+def quantize_params_static(params, static_params_shape,
+                           compute_dtype=jnp.bfloat16):
+    """Convert a trained (bf16/f32) param tree to the int8-static layout.
+
+    Args:
+        params: params pytree of the dynamic-precision model (every
+            quantized projection has a ``kernel`` leaf; stacked scan dims
+            allowed: ``[..., K, N]``).
+        static_params_shape: pytree (or jax.eval_shape result) of the
+            int8_static model's params — defines which projections become
+            ``kernel_q``/``kernel_scale``.
+        compute_dtype: the model's compute dtype.  The dynamic path sees
+            kernels AFTER nn.Dense's promotion to this dtype, so the static
+            quantisation must round through it to stay bit-identical.
+    Returns:
+        Params pytree matching ``static_params_shape``'s structure.
+    """
+    def kernel_f32(src):
+        w = jnp.asarray(src["kernel"])
+        return w.astype(compute_dtype).astype(jnp.float32)
+
+    def convert(src: dict, dst: dict) -> dict:
+        out = {}
+        for k, v in dst.items():
+            if k == "kernel_q":
+                w = kernel_f32(src)
+                s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) * _INV127
+                out[k] = jnp.round(
+                    w / jnp.maximum(s, 1e-12)).astype(jnp.int8)
+            elif k == "kernel_scale":
+                w = kernel_f32(src)
+                out[k] = jnp.max(jnp.abs(w), axis=-2, keepdims=True) * _INV127
+            elif isinstance(v, dict):
+                out[k] = convert(src[k], v)
+            else:
+                out[k] = src[k]
+        return out
+
+    import flax
+
+    src = flax.core.unfreeze(params)
+    dst = flax.core.unfreeze(static_params_shape)
+    return convert(src, dst)

@@ -109,3 +109,43 @@ def test_default_tiles_cover_all_output_columns(N):
     np.testing.assert_array_equal(got_f, ref)
     np.testing.assert_array_equal(got_q, ref)
     assert not np.isnan(got_f.astype(np.float32)).any()
+
+
+def test_static_quant_matches_dynamic_int8():
+    """int8_static with quantize_params_static-converted weights produces
+    EXACTLY the dynamic-int8 path's outputs (same symmetric absmax weight
+    quantisation, same dynamic activation quantisation)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.ops.quant import quantize_params_static
+
+    tiny = get_preset("tiny").model
+    dyn_cfg = dataclasses.replace(tiny, matmul_precision="int8",
+                                  quantize_head=True)
+    sta_cfg = dataclasses.replace(tiny, matmul_precision="int8_static",
+                                  quantize_head=True)
+    key = jax.random.PRNGKey(0)
+    B, T = 2, 128
+    x = jax.random.normal(key, (B, T, tiny.input_channels))
+    t = jnp.full((B,), 0.3)
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, tiny.cond_channels))
+
+    dyn = DiT(dyn_cfg)
+    params = dyn.init({"params": key, "dropout": key}, x, t, c)["params"]
+    # perturb the zero-init head so the head path is exercised
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+    sta = DiT(sta_cfg)
+    shapes = jax.eval_shape(
+        lambda: sta.init({"params": key, "dropout": key}, x, t, c)["params"])
+    qparams = quantize_params_static(params, shapes)
+
+    o_dyn = dyn.apply({"params": params}, x, t, c)
+    o_sta = sta.apply({"params": qparams}, x, t, c)
+    assert jnp.array_equal(o_dyn, o_sta), (
+        float(jnp.abs(o_dyn - o_sta).max()))
