@@ -42,6 +42,10 @@ def main():
                          "gate for making it the bench default)")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to final_proj")
+    ap.add_argument("--scores-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="attention score-matrix storage dtype (quality "
+                         "gate for the bf16-scores serving knob)")
     ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
                     metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -75,7 +79,7 @@ def main():
     from jatsr_tpu.utils import save_wav
 
     preset = get_preset(args.preset)
-    mcfg = preset.model
+    mcfg = dataclasses.replace(preset.model, scores_dtype=args.scores_dtype)
     if args.int8:
         mcfg = dataclasses.replace(mcfg, matmul_precision="int8",
                                    quantize_head=args.quantize_head)
