@@ -49,7 +49,8 @@ def main():
                     help="disable int8; run the bf16 parity path")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to final_proj (quality-gated knob)")
-    ap.add_argument("--attention", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--attention", default="xla",
+                    choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--scores-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="attention score-matrix storage dtype (bfloat16 "

@@ -113,14 +113,16 @@ class GQAttention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-        # Fused Pallas kernel on the deterministic path (inference/serving);
+        # Fused Pallas kernels on the deterministic path (inference/serving);
         # training keeps the XLA einsum (autodiff + attention dropout).
-        if cfg.attention_impl == "pallas" and deterministic:
-            from ..ops.attention import gqa_attention
+        # "pallas" = per-(batch, q-head) programs; "pallas2" = grouped
+        # per-(batch, kv-head) programs (better MXU occupancy at N=345).
+        if cfg.attention_impl in ("pallas", "pallas2") and deterministic:
+            from ..ops.attention import gqa_attention, gqa_attention_grouped
 
-            out = gqa_attention(
-                q, k, v, interpret=jax.default_backend() != "tpu"
-            )
+            fn = (gqa_attention_grouped if cfg.attention_impl == "pallas2"
+                  else gqa_attention)
+            out = fn(q, k, v, interpret=jax.default_backend() != "tpu")
             out = out.reshape(B, N, Hq * D)
             return dense(cfg.hidden_size, "out_proj")(out)
 

@@ -120,3 +120,30 @@ def test_int8_dot_general_unit():
     err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-6)
     assert err < 0.02, err
     assert got.shape == want.shape
+
+
+def test_grouped_kernel_matches_einsum():
+    """pallas2 (per-(batch, kv-head) programs) parity with the XLA einsum."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.ops.attention import gqa_attention_grouped
+
+    key = jax.random.PRNGKey(3)
+    B, N, Hq, Hkv, D = 2, 90, 8, 2, 32  # N deliberately not lane-aligned
+    G = Hq // Hkv
+    q = jax.random.normal(key, (B, N, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(4), (B, N, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, N, Hkv, D), jnp.float32)
+
+    got = gqa_attention_grouped(q, k, v, interpret=True)
+
+    qg = q.reshape(B, N, Hkv, G, D)
+    s = jnp.einsum("bnkgd,bmkd->bkgnm", qg, k) / math.sqrt(D)
+    w = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
