@@ -49,6 +49,9 @@ def main():
                     help="disable int8; run the bf16 parity path")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to final_proj (quality-gated knob)")
+    ap.add_argument("--fused-mlp", action="store_true",
+                    help="Pallas fused dot+GELU+requant MLP first half "
+                         "(requires int8_static)")
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--scores-dtype", default="float32",
@@ -93,6 +96,7 @@ def main():
         preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
         matmul_precision=precision,
         quantize_head=args.quantize_head,
+        fused_mlp=args.fused_mlp,
         attention_impl=args.attention,
         scores_dtype=args.scores_dtype,
     )

@@ -86,6 +86,11 @@ class ModelConfig:
     # geometry).  Separate knob: the head writes the predicted latent
     # directly, so its quantisation is gated on its own quality eval.
     quantize_head: bool = False
+    # Fuse the serving MLP's first half (dot + dequant + bias + GELU +
+    # requantize) into one Pallas kernel whose int8 output feeds the second
+    # dot directly (ops/int8_matmul.py:int8_dense_gelu_quant).  Requires
+    # matmul_precision="int8_static"; inference-only.
+    fused_mlp: bool = False
     # Backward rematerialisation policy per DiT block:
     #   "full" — recompute everything (min HBM),
     #   "dots" — save matmul outputs, recompute elementwise (faster bwd),

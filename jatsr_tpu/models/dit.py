@@ -249,11 +249,32 @@ class DiTBlock(nn.Module):
         h = _norm(cfg, "norm2")(x)
         h = h * (1 + expand(scale_mlp)) + expand(shift_mlp)
         mlp_dim = int(H * cfg.mlp_ratio)
-        mk = _dense_factory(cfg)
-        h = mk(mlp_dim, "mlp_in")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
-        h = mk(H, "mlp_out")(h)
+        if cfg.fused_mlp and cfg.matmul_precision == "int8_static":
+            # One Pallas kernel: dot + dequant + bias + GELU + requantize;
+            # its int8 output feeds the second dot without a bf16 HBM
+            # round-trip.  Params keep QuantDense's exact layout.
+            from ..ops.int8_matmul import int8_dense_gelu_quant
+            from ..ops.quant import QuantParams
+
+            w1q, w1s, b1 = QuantParams(H, mlp_dim, name="mlp_in")()
+            w2q, w2s, b2 = QuantParams(mlp_dim, H, name="mlp_out")()
+            B_, N_, _ = h.shape
+            g_q, g_s = int8_dense_gelu_quant(
+                h.astype(dtype).reshape(B_ * N_, H), w1q, w1s,
+                b1.reshape(1, -1).astype(jnp.float32),
+                interpret=jax.default_backend() != "tpu",
+            )
+            acc = jax.lax.dot_general(
+                g_q, w2q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            h = (acc * g_s * w2s + b2).astype(dtype).reshape(B_, N_, H)
+        else:
+            mk = _dense_factory(cfg)
+            h = mk(mlp_dim, "mlp_in")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
+            h = mk(H, "mlp_out")(h)
         h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
         h = expand(gate_mlp) * h
         if not deterministic:

@@ -17,6 +17,7 @@ no quantized path at all — this is TPU-only headroom on top of parity
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -146,6 +147,97 @@ def int8_matmul_fused(
         interpret=interpret,
     )(a, w_q, w_scale)
     return out[:M] if Mp != M else out
+
+
+def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
+    # In-kernel dynamic quantisation of the activation row-block.
+    a = a_ref[:].astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    a_q = jnp.round(a / s).astype(jnp.int8)
+    acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
+    # Round to bf16 between dequant and GELU, and again after GELU, to
+    # match the unfused path (QuantDense emits bf16; nn.gelu consumes it).
+    y = (acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    g = (0.5 * y * (1.0 + jax.lax.erf(y * (1.0 / math.sqrt(2.0))))).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    gs = jnp.maximum(
+        jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    gq_ref[:] = jnp.round(g / gs).astype(jnp.int8)
+    gs_ref[:] = gs
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_m"))
+def int8_dense_gelu_quant(
+    a: jax.Array,         # [M, K] bf16/f32 activations (unquantized)
+    w_q: jax.Array,       # [K, N] int8
+    w_scale: jax.Array,   # [1, N] fp32
+    bias: jax.Array,      # [1, N] fp32
+    *,
+    interpret: bool = False,
+    block_m: int = 0,
+):
+    """Fused ``quantize(gelu(dequant(a @ w_q) + b))`` -> (int8 [M, N],
+    fp32 row scales [M, 1]).
+
+    The serving MLP's first half.  In the XLA path this is a kOutput
+    matmul fusion whose dequant+bias+erf-GELU+absmax epilogue over
+    [M, 4H] runs largely serial with the dot (profiled 580 us vs a
+    ~220 us dot floor at v3 geometry, PERF.md round 2); here Mosaic
+    software-pipelines the grid so program i's VPU epilogue overlaps
+    program i+1's MXU dot, and the GELU output goes straight to int8 (no
+    bf16 round-trip through HBM).  The emitted (values, scales) feed the
+    second MLP dot directly.
+
+    bf16 roundings are inserted where the unfused path has them, so
+    outputs match QuantDense(gelu(QuantDense(x))) to bf16 tolerance.
+    """
+    M, K = a.shape
+    K2, N = w_q.shape
+    assert K == K2 and K % 128 == 0 and N % 128 == 0, (a.shape, w_q.shape)
+
+    bm = block_m or 128  # VMEM: w 6.5 MB (v3) + 2x f32 [bm, N] buffers
+    bm = min(bm, _round_up(M, 32))
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        a = jnp.pad(a, ((0, Mp - M), (0, 0)))
+
+    g_q, g_s = pl.pallas_call(
+        _dense_gelu_quant_kernel,
+        grid=(Mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, N), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, N), jnp.int8),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2 + K * N + Mp * N,
+            transcendentals=Mp * N,
+        ),
+        interpret=interpret,
+    )(a, w_q, w_scale, bias)
+    if Mp != M:
+        g_q, g_s = g_q[:M], g_s[:M]
+    return g_q, g_s
 
 
 @functools.partial(

@@ -154,6 +154,38 @@ class QuantDense(_nn.Module):
         return out
 
 
+class QuantParams(_nn.Module):
+    """Parameter holder with QuantDense's exact structure (kernel_q /
+    kernel_scale / bias) for paths that consume the raw int8 weights
+    directly (e.g. the fused MLP kernel).  Calling it returns the params
+    instead of computing a matmul."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @_nn.compact
+    def __call__(self):
+        K = self.in_features
+        w_q = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(key, shape, -127, 128,
+                                                  jnp.int32).astype(jnp.int8),
+            (K, self.features),
+        )
+        w_scale = self.param(
+            "kernel_scale",
+            lambda key, shape: jnp.full(shape, (1.0 / np.sqrt(K)) * _INV127,
+                                        jnp.float32),
+            (1, self.features),
+        )
+        b = (self.param("bias", _nn.initializers.zeros,
+                        (self.features,), self.param_dtype)
+             if self.use_bias else None)
+        return w_q, w_scale, b
+
+
 def quantize_params_static(params, static_params_shape,
                            compute_dtype=jnp.bfloat16):
     """Convert a trained (bf16/f32) param tree to the int8-static layout.

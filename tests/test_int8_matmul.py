@@ -149,3 +149,35 @@ def test_static_quant_matches_dynamic_int8():
     o_sta = sta.apply({"params": qparams}, x, t, c)
     assert jnp.array_equal(o_dyn, o_sta), (
         float(jnp.abs(o_dyn - o_sta).max()))
+
+
+def test_fused_mlp_matches_unfused_static():
+    """fused_mlp (Pallas dot+GELU+requant) matches the unfused int8_static
+    MLP to bf16 tolerance (bf16 roundings are inserted at the same points;
+    only GELU's internal precision differs)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+
+    tiny = get_preset("tiny").model
+    base = dataclasses.replace(tiny, matmul_precision="int8_static",
+                               dropout=0.0, drop_path_rate=0.0)
+    fused = dataclasses.replace(base, fused_mlp=True)
+    key = jax.random.PRNGKey(0)
+    B, T = 2, 128
+    x = jax.random.normal(key, (B, T, tiny.input_channels))
+    t = jnp.full((B,), 0.3)
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, tiny.cond_channels))
+
+    m0 = DiT(base)
+    params = m0.init({"params": key, "dropout": key}, x, t, c)["params"]
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+    o0 = m0.apply({"params": params}, x, t, c)
+    o1 = DiT(fused).apply({"params": params}, x, t, c)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=0.03, rtol=0.03)
