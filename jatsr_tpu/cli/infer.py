@@ -41,6 +41,16 @@ def main(argv=None):
                     help="W8A8 serving matmuls (v5e MXU int8 rate)")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to the output head")
+    ap.add_argument("--scores-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="attention score-matrix storage dtype (default "
+                         "bfloat16 — quality-gated, PERF.md round 2; "
+                         "float32 restores the exact parity path)")
+    ap.add_argument("--fused-mlp", action="store_true",
+                    help="Pallas fused dot+GELU+requant serving MLP "
+                         "(requires --int8)")
+    ap.add_argument("--attention", default="xla",
+                    choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--cfg-interval", type=float, nargs=2,
                     default=(0.0, 1.0), metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -108,12 +118,19 @@ def main(argv=None):
         print(f"[infer] restored {args.checkpoint} @ step "
               f"{meta['global_step']}")
 
+    if args.fused_mlp and not args.int8:
+        raise SystemExit("--fused-mlp requires --int8")
+    serving = dataclasses.replace(
+        preset.model, scores_dtype=args.scores_dtype,
+        attention_impl=args.attention,
+    )
     if args.int8:
         from ..ops.quant import quantize_params_static
 
         mcfg = dataclasses.replace(
-            preset.model, matmul_precision="int8_static",
+            serving, matmul_precision="int8_static",
             quantize_head=args.quantize_head,
+            fused_mlp=args.fused_mlp,
             dropout=0.0, drop_path_rate=0.0,
         )
         model = DiT(mcfg)
@@ -125,6 +142,9 @@ def main(argv=None):
                 dummy, jnp.zeros((1,), jnp.float32), dummy)["params"])
         params = quantize_params_static(params, shapes)
         print("[infer] int8 serving: weights pre-quantized (static W8A8)")
+    else:
+        model = DiT(dataclasses.replace(serving, dropout=0.0,
+                                        drop_path_rate=0.0))
 
     if args.dac_weights:
         from ..models.dac.convert import load_torch_checkpoint

@@ -149,6 +149,22 @@ def int8_matmul_fused(
     return out[:M] if Mp != M else out
 
 
+def _erf(x):
+    """erf via Abramowitz–Stegun 7.1.26 (max abs error 1.5e-7).
+
+    Mosaic has no TPU lowering for ``lax.erf``; this polynomial's error is
+    two orders of magnitude below bf16 resolution, so the kernel still
+    matches the unfused ``nn.gelu(approximate=False)`` path after the bf16
+    round (tests/test_int8_matmul.py).
+    """
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     # In-kernel dynamic quantisation of the activation row-block.
     a = a_ref[:].astype(jnp.float32)
@@ -161,7 +177,7 @@ def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     # match the unfused path (QuantDense emits bf16; nn.gelu consumes it).
     y = (acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]).astype(
         jnp.bfloat16).astype(jnp.float32)
-    g = (0.5 * y * (1.0 + jax.lax.erf(y * (1.0 / math.sqrt(2.0))))).astype(
+    g = (0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))).astype(
         jnp.bfloat16).astype(jnp.float32)
     gs = jnp.maximum(
         jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12

@@ -438,3 +438,43 @@ def test_save_last_cadence(tmp_path):
     assert last_epochs == [1, 2]  # epoch 1 (cadence) + epoch 2 (final)
     run_dir = Path(preset.train.save_dir_base) / "tiny" / "31313131"
     assert (run_dir / "last").exists()
+
+
+def test_infer_cli_serving_knobs(trained, tmp_path, monkeypatch, capsys):
+    """cli.infer end-to-end from a trained run dir, covering the serving
+    branches: bf16 default (with bf16 scores), and --int8 --fused-mlp
+    (static-quantized weight layout + Pallas fused MLP, interpret mode on
+    CPU).  Guards the restore -> model-swap -> quantize wiring."""
+    from jatsr_tpu.cli import infer as infer_cli
+    from jatsr_tpu.models.dac import DAC, DACConfig
+    from jatsr_tpu.models.dac.model import init_params
+
+    tmp, preset, tr, _ = trained
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "11112222"
+    assert run_dir.exists()
+
+    tiny = DACConfig(encoder_dim=8, encoder_rates=(2, 4), decoder_dim=16,
+                     decoder_rates=(4, 2), n_codebooks=2, codebook_size=16,
+                     codebook_dim=4)
+    assert tiny.latent_dim == C
+    monkeypatch.setattr(
+        DAC, "random_init",
+        classmethod(lambda cls, seed=0, cfg=None: DAC(
+            init_params(jax.random.PRNGKey(seed), tiny), tiny)),
+    )
+
+    inp = tmp_path / "song.lr.npy"
+    np.save(inp, np.random.RandomState(0).randn(48, C).astype(np.float16))
+
+    common = ["--run-dir", str(run_dir), "--checkpoint", "last",
+              "--stats", str(tmp / "data" / "global_stats_separated.json"),
+              "--input", str(inp), "--steps", "2", "--cfg-scale", "2.0"]
+    out1 = tmp_path / "out_bf16"
+    infer_cli.main(common + ["--output-dir", str(out1)])
+    assert (out1 / "song.lr_generated_cfg2.0.wav").exists()
+
+    out2 = tmp_path / "out_fused"
+    infer_cli.main(common + ["--output-dir", str(out2), "--int8",
+                             "--fused-mlp", "--scores-dtype", "bfloat16"])
+    assert "pre-quantized" in capsys.readouterr().out
+    assert (out2 / "song.lr_generated_cfg2.0.wav").exists()

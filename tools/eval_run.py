@@ -46,6 +46,12 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="attention score-matrix storage dtype (quality "
                          "gate for the bf16-scores serving knob)")
+    ap.add_argument("--fused-mlp", action="store_true",
+                    help="Pallas fused dot+GELU+requant MLP (implies the "
+                         "int8_static weight layout; quality gate for the "
+                         "fused serving MLP)")
+    ap.add_argument("--attention", default="xla",
+                    choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
                     metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -79,16 +85,36 @@ def main():
     from jatsr_tpu.utils import save_wav
 
     preset = get_preset(args.preset)
-    mcfg = dataclasses.replace(preset.model, scores_dtype=args.scores_dtype)
+    mcfg = dataclasses.replace(preset.model, scores_dtype=args.scores_dtype,
+                               attention_impl=args.attention)
     if args.int8:
         mcfg = dataclasses.replace(mcfg, matmul_precision="int8",
                                    quantize_head=args.quantize_head)
-    model = DiT(mcfg)
+    # Checkpoints use the unquantized param layout: restore with the plain
+    # model, then (for the static/fused path) swap the model and pre-
+    # quantize the weights once — same flow as cli/infer.py.
+    model = DiT(mcfg if not args.fused_mlp else preset.model)
     C = preset.model.input_channels
     dummy = jnp.zeros((1, 8, C), jnp.float32)
     state = create_train_state(model, preset.train, 1, (dummy, dummy))
     state, meta = CheckpointManager(args.run_dir).restore(args.checkpoint,
                                                          state)
+    if args.fused_mlp:
+        from jatsr_tpu.ops.quant import quantize_params_static
+
+        mcfg = dataclasses.replace(
+            mcfg, matmul_precision="int8_static", fused_mlp=True,
+            dropout=0.0, drop_path_rate=0.0,
+        )
+        model = DiT(mcfg)
+        shapes = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(0)},
+                dummy, jnp.zeros((1,), jnp.float32), dummy)["params"])
+        state = state.replace(
+            params=quantize_params_static(state.params, shapes))
+        print("[eval] fused int8_static MLP serving path")
     if args.dac_weights:
         from jatsr_tpu.models.dac.convert import load_torch_checkpoint
 

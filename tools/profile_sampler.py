@@ -58,6 +58,14 @@ def main():
                     help="ODE steps (a few are enough; per-step cost is flat)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--bf16", dest="int8", action="store_false", default=True)
+    ap.add_argument("--precision", default=None,
+                    choices=["bf16", "int8", "int8_static"],
+                    help="overrides --bf16/--int8 when given")
+    ap.add_argument("--scores-dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--attention", default="xla",
+                    choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--quantize-head", action="store_true")
     ap.add_argument("--out", default="/tmp/jatsr_profile")
     ap.add_argument("--summarize-only", default=None,
@@ -82,8 +90,11 @@ def main():
     preset = get_preset("v3")
     mcfg = dataclasses.replace(
         preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
-        matmul_precision="int8" if args.int8 else "bf16",
+        matmul_precision=args.precision or ("int8" if args.int8 else "bf16"),
         quantize_head=args.quantize_head,
+        scores_dtype=args.scores_dtype,
+        fused_mlp=args.fused_mlp,
+        attention_impl=args.attention,
     )
     model = DiT(mcfg)
     B, T, C = args.batch, 1378, mcfg.input_channels
