@@ -49,9 +49,13 @@ def main():
                     help="disable int8; run the bf16 parity path")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to final_proj (quality-gated knob)")
-    ap.add_argument("--fused-mlp", action="store_true",
+    ap.add_argument("--fused-mlp", action="store_true", default=True,
                     help="Pallas fused dot+GELU+requant MLP first half "
-                         "(requires int8_static)")
+                         "(requires int8_static; default on — quality-gated "
+                         "at LSD delta 0.00 dB / Mel L1 delta <= 0.01, "
+                         "PERF.md round 2)")
+    ap.add_argument("--no-fused-mlp", dest="fused_mlp", action="store_false",
+                    help="disable the fused serving MLP kernel")
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--scores-dtype", default="bfloat16",

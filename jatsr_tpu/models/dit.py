@@ -253,22 +253,41 @@ class DiTBlock(nn.Module):
             # One Pallas kernel: dot + dequant + bias + GELU + requantize;
             # its int8 output feeds the second dot without a bf16 HBM
             # round-trip.  Params keep QuantDense's exact layout.
-            from ..ops.int8_matmul import int8_dense_gelu_quant
+            import os
+
+            from ..ops.int8_matmul import int8_dense_gelu_quant, int8_mlp
             from ..ops.quant import QuantParams
 
             w1q, w1s, b1 = QuantParams(H, mlp_dim, name="mlp_in")()
             w2q, w2s, b2 = QuantParams(mlp_dim, H, name="mlp_out")()
             B_, N_, _ = h.shape
-            g_q, g_s = int8_dense_gelu_quant(
-                h.astype(dtype).reshape(B_ * N_, H), w1q, w1s,
-                b1.reshape(1, -1).astype(jnp.float32),
-                interpret=jax.default_backend() != "tpu",
-            )
-            acc = jax.lax.dot_general(
-                g_q, w2q, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-            h = (acc * g_s * w2s + b2).astype(dtype).reshape(B_, N_, H)
+            interp = jax.default_backend() != "tpu"
+            # "half" (default): first-half Pallas kernel + XLA s8xs8 second
+            # dot — measured best (66.2 audio-sec/s vs 65.9 for the whole-
+            # MLP kernel, PERF.md round 2); "full" keeps the hidden [M, 4H]
+            # activation entirely in VMEM but Mosaic's in-order compute
+            # emission serialises its slab pipeline just enough to lose.
+            if os.environ.get("JATSR_FUSED_MLP", "half") == "full":
+                # Whole MLP in one kernel: the [M, 4H] hidden activation
+                # never touches HBM (per-(row, slab) g scales — quality-
+                # gated, PERF.md round 2).
+                h = int8_mlp(
+                    h.astype(dtype).reshape(B_ * N_, H), w1q, w1s,
+                    b1.reshape(1, -1).astype(jnp.float32),
+                    w2q, w2s.reshape(1, -1), b2.reshape(1, -1),
+                    interpret=interp,
+                ).astype(dtype).reshape(B_, N_, H)
+            else:  # JATSR_FUSED_MLP=half: first-half kernel + XLA s8xs8
+                g_q, g_s = int8_dense_gelu_quant(
+                    h.astype(dtype).reshape(B_ * N_, H), w1q, w1s,
+                    b1.reshape(1, -1).astype(jnp.float32),
+                    interpret=interp,
+                )
+                acc = jax.lax.dot_general(
+                    g_q, w2q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                h = (acc * g_s * w2s + b2).astype(dtype).reshape(B_, N_, H)
         else:
             mk = _dense_factory(cfg)
             h = mk(mlp_dim, "mlp_in")(h)

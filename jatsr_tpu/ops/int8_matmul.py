@@ -165,6 +165,20 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _gelu(y):
+    """In-kernel GELU.  JATSR_GELU=tanh swaps the exact (erf) form for the
+    tanh approximation (max abs err ~1e-3 — far below the serving path's
+    int8 re-quantisation step, and one transcendental with NO per-element
+    divide vs A&S-erf's exp+divide).  Serving-only VPU knob; quality-gated
+    before any default flip (PERF.md round 2)."""
+    import os
+
+    if os.environ.get("JATSR_GELU") == "tanh":
+        c = math.sqrt(2.0 / math.pi)
+        return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
+    return 0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))
+
+
 def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     # In-kernel dynamic quantisation of the activation row-block.
     a = a_ref[:].astype(jnp.float32)
@@ -177,8 +191,7 @@ def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     # match the unfused path (QuantDense emits bf16; nn.gelu consumes it).
     y = (acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]).astype(
         jnp.bfloat16).astype(jnp.float32)
-    g = (0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))).astype(
-        jnp.bfloat16).astype(jnp.float32)
+    g = _gelu(y).astype(jnp.bfloat16).astype(jnp.float32)
     gs = jnp.maximum(
         jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
     )
@@ -254,6 +267,127 @@ def int8_dense_gelu_quant(
     if Mp != M:
         g_q, g_s = g_q[:M], g_s[:M]
     return g_q, g_s
+
+
+def _mlp_full_kernel(a_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref,
+                     b2_ref, out_ref, *, n_slabs: int):
+    """Whole serving MLP in one program: quant(a) -> dot1 -> dequant+bias+
+    GELU+requant -> dot2 -> dequant+bias.  The hidden activation g never
+    touches HBM; the 4H dimension is processed in ``n_slabs`` static slabs
+    so temporaries stay slab-sized (VMEM is the budget: both weight
+    matrices stay resident, 13.1 MB at v3 geometry).
+
+    Numerics: g's int8 scales are per-(row, slab) rather than per-row —
+    finer-grained than the unfused path (strictly more precise), so this
+    variant is quality-gated end-to-end instead of bit-compared
+    (PERF.md round 2)."""
+    a = a_ref[:].astype(jnp.float32)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    # Per-row reciprocal once, per-element multiply (VPU divide is many
+    # times a multiply's cost; the scales make this quality-equivalent).
+    a_q = jnp.round(a * (1.0 / s)).astype(jnp.int8)
+    n1 = w1_ref.shape[1]
+    slab = n1 // n_slabs
+    acc2 = jnp.zeros((a_ref.shape[0], w2_ref.shape[1]), jnp.float32)
+
+    def dot1(i):
+        sl = slice(i * slab, (i + 1) * slab)
+        return jnp.dot(a_q, w1_ref[:, sl], preferred_element_type=jnp.int32)
+
+    # Manual software pipeline: issue slab i+1's MXU dot before slab i's
+    # VPU epilogue so the dots stream while GELU/requant runs.  (Mosaic
+    # pipelines DMA across grid steps but emits compute in program order —
+    # without this interleave the MXU idles during every epilogue, which
+    # is exactly what the profiled two-stage path already suffered.)
+    acc1_next = dot1(0)
+    for i in range(n_slabs):
+        acc1 = acc1_next
+        if i + 1 < n_slabs:
+            acc1_next = dot1(i + 1)
+        sl = slice(i * slab, (i + 1) * slab)
+        y = (acc1.astype(jnp.float32) * s * w1s_ref[:, sl]
+             + b1_ref[:, sl]).astype(jnp.bfloat16).astype(jnp.float32)
+        g = (0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))).astype(
+            jnp.bfloat16).astype(jnp.float32)
+        gs = jnp.maximum(
+            jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
+        )
+        g_q = jnp.round(g * (1.0 / gs)).astype(jnp.int8)
+        p = jnp.dot(g_q, w2_ref[sl, :], preferred_element_type=jnp.int32)
+        acc2 = acc2 + p.astype(jnp.float32) * gs
+    out_ref[:] = (acc2 * w2s_ref[:] + b2_ref[:]).astype(out_ref.dtype)
+
+
+def _pick_slabs(n1: int, target: int = 1280) -> int:
+    """Smallest slab count whose slab size is <= target and lane-aligned."""
+    for k in range(1, 64):
+        if n1 % k == 0 and n1 // k <= target and (n1 // k) % 128 == 0:
+            return k
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_m"))
+def int8_mlp(
+    a: jax.Array,          # [M, H] bf16/f32 activations (unquantized)
+    w1_q: jax.Array,       # [H, N1] int8
+    w1_scale: jax.Array,   # [1, N1] fp32
+    b1: jax.Array,         # [1, N1] fp32
+    w2_q: jax.Array,       # [N1, H2] int8
+    w2_scale: jax.Array,   # [1, H2] fp32
+    b2: jax.Array,         # [1, H2] fp32
+    *,
+    interpret: bool = False,
+    block_m: int = 0,
+) -> jax.Array:
+    """Full fused serving MLP: ``dequant(quant(gelu(a@w1+b1))@w2)+b2``.
+
+    Returns [M, H2] bf16.  See ``_mlp_full_kernel`` for the VMEM layout
+    and the per-(row, slab) quantisation note."""
+    M, K = a.shape
+    K2, N1 = w1_q.shape
+    N1b, H2 = w2_q.shape
+    assert K == K2 and N1 == N1b, (a.shape, w1_q.shape, w2_q.shape)
+    assert K % 128 == 0 and N1 % 128 == 0 and H2 % 128 == 0
+
+    bm = block_m or 128
+    bm = min(bm, _round_up(M, 32))
+    Mp = _round_up(M, bm)
+    if Mp != M:
+        a = jnp.pad(a, ((0, Mp - M), (0, 0)))
+    n_slabs = _pick_slabs(N1)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_full_kernel, n_slabs=n_slabs),
+        grid=(Mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N1, H2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, H2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, H2), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N1 * (K + H2),
+            bytes_accessed=Mp * K * 2 + K * N1 + N1 * H2 + Mp * H2 * 2,
+            transcendentals=Mp * N1,
+        ),
+        interpret=interpret,
+    )(a, w1_q, w1_scale, b1, w2_q, w2_scale, b2)
+    return out[:M] if Mp != M else out
 
 
 @functools.partial(

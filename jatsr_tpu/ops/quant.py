@@ -62,9 +62,16 @@ def w8a8_dot(lhs, w_q, w_scale):
         )
         return out.reshape(*lead, N)
 
-    lhs_f = lhs.astype(jnp.float32)
-    a_scale = jnp.max(jnp.abs(lhs_f), axis=-1, keepdims=True) * _INV127
-    a_q = jnp.round(lhs_f / jnp.maximum(a_scale, 1e-12)).astype(jnp.int8)
+    # Absmax reduce directly on the input dtype (bf16 -> f32 is exact, so
+    # the scale is bit-identical to reducing an f32 upcast) and upcast
+    # inside the quant expression: keeping ``lhs`` in bf16 lets XLA fuse
+    # the f32 convert into each consumer instead of materialising an f32
+    # copy of the whole activation (profiled ~1.3 ms/step of
+    # convert_element_type at v3 serving geometry).
+    a_scale = jnp.max(jnp.abs(lhs), axis=-1, keepdims=True).astype(
+        jnp.float32) * _INV127
+    a_q = jnp.round(lhs.astype(jnp.float32)
+                    / jnp.maximum(a_scale, 1e-12)).astype(jnp.int8)
 
     if impl == "pallas" and jax.default_backend() == "tpu" and aligned:
         out = int8_matmul(

@@ -181,3 +181,47 @@ def test_fused_mlp_matches_unfused_static():
     o1 = DiT(fused).apply({"params": params}, x, t, c)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
                                atol=0.03, rtol=0.03)
+
+
+def test_int8_mlp_full_kernel_close_to_half_path():
+    """The whole-MLP kernel (int8_mlp) matches the two-stage fused path to
+    quantisation tolerance.  Not bit-identical by design: g's int8 scales
+    are per-(row, slab) instead of per-row — finer-grained, so the only
+    differences come from re-quantisation granularity."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.ops.int8_matmul import (
+        int8_dense_gelu_quant,
+        int8_mlp,
+        quantize_cols,
+    )
+
+    rs = np.random.RandomState(0)
+    M, H, N1 = 96, 128, 512
+    a = jnp.asarray(rs.randn(M, H), jnp.bfloat16)
+    w1 = jnp.asarray(rs.randn(H, N1) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rs.randn(N1, H) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rs.randn(1, N1) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rs.randn(1, H) * 0.1, jnp.float32)
+    w1q, w1s = quantize_cols(w1)
+    w2q, w2s = quantize_cols(w2)
+
+    full = int8_mlp(a, w1q, w1s, b1, w2q, w2s, b2, interpret=True)
+
+    g_q, g_s = int8_dense_gelu_quant(a, w1q, w1s, b1, interpret=True)
+    acc = jax.lax.dot_general(g_q, w2q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    half = (acc.astype(jnp.float32) * g_s * w2s + b2).astype(jnp.bfloat16)
+
+    np.testing.assert_allclose(
+        np.asarray(full, np.float32), np.asarray(half, np.float32),
+        atol=0.05, rtol=0.05)
+    # At one slab the only remaining difference is the reciprocal-multiply
+    # quantisation (x * (1/s) vs x / s): at most one int8 ulp on round-to-
+    # nearest ties, i.e. one quantisation step of either dot input.
+    assert N1 <= 1280  # _pick_slabs returns 1 here
+    close = np.isclose(np.asarray(full, np.float32),
+                       np.asarray(half, np.float32), atol=0.02, rtol=0.02)
+    assert close.mean() > 0.99, close.mean()

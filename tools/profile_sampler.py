@@ -51,6 +51,32 @@ def summarize_trace(out_dir: str, top: int = 25):
     for name, us in ranked[:top]:
         print(f"  {us/1e3:9.3f} ms  {100*us/max(total,1e-9):5.1f}%  {name[:100]}")
 
+    # Second view: aggregate leaf events by their model-level op (tf_op),
+    # which attributes each HLO fusion to the module/op that produced it
+    # (e.g. ".../blocks/attn/out_proj/dot_general").  Skip container events
+    # (jit wrappers / while loops) so time isn't double counted.
+    by_op = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith(("jit_", "while")):
+            continue
+        op = e.get("args", {}).get("tf_op", "")
+        # strip the common jit(...)/while/body prefix for readability
+        for marker in ("closed_call/", "body/"):
+            idx = op.rfind(marker)
+            if idx >= 0:
+                op = op[idx + len(marker):]
+        by_op[op or name] += e.get("dur", 0.0)
+    ranked_op = sorted(by_op.items(), key=lambda kv: -kv[1])
+    leaf_total = sum(by_op.values())
+    print(f"[profile] by model op (leaf total {leaf_total/1e3:.2f} ms), "
+          f"top {top}:")
+    for op, us in ranked_op[:top]:
+        print(f"  {us/1e3:9.3f} ms  {100*us/max(leaf_total,1e-9):5.1f}%  "
+              f"{op[:110]}")
+
 
 def main():
     ap = argparse.ArgumentParser()
