@@ -122,11 +122,17 @@ def main():
     )["params"]
     n_params = count_params(params)
 
+    from jatsr_tpu.models.dit import adaln_tables
+
     sampler = FlowSampler(
-        lambda p, z, t, c: model.apply({"params": p}, z, t, c),
+        lambda p, z, t, c, mod=None: model.apply({"params": p}, z, t, c,
+                                                 adaln_mod=mod),
         SamplerConfig(num_steps=args.steps, cfg_scale=args.cfg_scale,
                       cfg_interval=tuple(args.cfg_interval)),
         params=params,
+        # hoisted-AdaLN serving path: per-step modulation tables computed
+        # once outside the ODE loop (models/dit.py:adaln_tables)
+        adaln_fn=lambda p, tv: adaln_tables(mcfg, p, tv),
     )
 
     def run(i):

@@ -99,10 +99,18 @@ class InferencePipeline:
         self.params = params
         # params flow through the jit boundary as arguments — closing over
         # them would serialise 766 M weights into the compiled HLO.
+        # adaln_fn: every step's AdaLN modulations are precomputed outside
+        # the ODE loop (models.dit.adaln_tables — the adaln stack is 36% of
+        # the params and depends only on t).
+        from ..models.dit import adaln_tables
+
+        mcfg = model.cfg
         self.sampler = FlowSampler(
-            lambda p, z, t, c: model.apply({"params": p}, z, t, c),
+            lambda p, z, t, c, mod=None: model.apply(
+                {"params": p}, z, t, c, adaln_mod=mod),
             self.cfg,
             params=self.params,
+            adaln_fn=lambda p, tv: adaln_tables(mcfg, p, tv),
         )
 
     @property

@@ -136,10 +136,18 @@ class GQAttention(nn.Module):
             # Subtract the fp32 row-max inside the einsum epilogue, store the
             # (<= 0) shifted logits as bf16 — halves the score matrix's HBM
             # write+read, the dominant attention cost at N=345.  exp/sum
-            # still run in fp32 downstream.
+            # still run in fp32 downstream.  Raw exp/sum instead of
+            # jax.nn.softmax: the rows are already max-shifted (row max is
+            # exactly 0 pre-rounding), so softmax's internal second
+            # max-reduce + subtract would be a redundant full pass over the
+            # [B, H, N, N] tensor (profiled ~1 ms/step) with a shift that
+            # cancels in the normalisation.
             m = jnp.max(scores, axis=-1, keepdims=True)
             scores = (scores - m).astype(jnp.bfloat16)
-        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            e = jnp.exp(scores.astype(jnp.float32))
+            weights = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if cfg.dropout > 0.0:
             weights = nn.Dropout(rate=cfg.dropout)(
                 weights, deterministic=deterministic
@@ -221,7 +229,8 @@ class DiTBlock(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, t_emb, cos, sin, dp_rate, deterministic: bool):
+    def __call__(self, x, t_emb, cos, sin, dp_rate, deterministic: bool,
+                 mod=None):
         cfg = self.cfg
         H = cfg.hidden_size
         dtype = jnp.dtype(cfg.dtype)
@@ -229,11 +238,17 @@ class DiTBlock(nn.Module):
 
         # AdaLN modulation: SiLU -> Dense(6H), zero-init (jat_audiosr_v2.py:256-259,
         # 375-377).  Computed from the fp32 t_emb, emitted in compute dtype.
-        mod = nn.Dense(
-            6 * H, dtype=dtype, param_dtype=pdtype,
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            name="adaln",
-        )(nn.silu(t_emb))
+        # The serving sampler passes precomputed ``mod`` tables instead: the
+        # modulation depends only on t, so the 50-step ODE can hoist all
+        # 28 x [H, 6H] adaln matmuls (36% of the params!) out of the loop
+        # (see models.dit.adaln_tables; profiled ~0.8 ms/step).
+        if mod is None:
+            mod = nn.Dense(
+                6 * H, dtype=dtype, param_dtype=pdtype,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="adaln",
+            )(nn.silu(t_emb))
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
         expand = lambda m: m[:, None, :]
@@ -324,7 +339,8 @@ class DiT(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x_t, t, x_cond, *, deterministic: bool = True):
+    def __call__(self, x_t, t, x_cond, *, deterministic: bool = True,
+                 adaln_mod=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         pdtype = jnp.dtype(cfg.param_dtype)
@@ -400,15 +416,17 @@ class DiT(nn.Module):
                 else None  # None = nothing saveable (full recompute)
             )
             block = nn.remat(DiTBlock, static_argnums=(6,), policy=policy)
+        mod_axis = nn.broadcast if adaln_mod is None else 0
         ScannedBlocks = nn.scan(
             block,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0,
+                     nn.broadcast, mod_axis),
             length=cfg.depth,
         )
         h, _ = ScannedBlocks(cfg, name="blocks")(h, t_emb, cos, sin, dpr,
-                                                 deterministic)
+                                                 deterministic, adaln_mod)
 
         # Final layer: affine-free norm + zero-init Dense(H -> P*C)
         # (jat_audiosr_v2.py:358-363, 379-381).
@@ -430,6 +448,37 @@ class DiT(nn.Module):
         if pad:
             out = out[:, :T_orig, :]
         return out.astype(jnp.float32)
+
+
+def adaln_tables(cfg: ModelConfig, params, t: jax.Array) -> jax.Array:
+    """Precompute every layer's AdaLN modulation for flow time(s) ``t``.
+
+    The modulation path (t -> sinusoid -> t-MLP -> SiLU -> per-layer
+    Dense(6H)) depends ONLY on t, so a sampler with a static step schedule
+    can evaluate it once per step outside the ODE loop instead of touching
+    the 28 x [H, 6H] adaln weights (36% of all params) every model call.
+
+    Args:
+        cfg: the model config (dtypes/sizes).
+        params: the model's param tree (unquantized or static-int8 — the
+            t-MLP and adaln weights are never quantized).
+        t: [B] flow times (the sampler passes [1]; the result broadcasts
+            over the batch inside the blocks).
+    Returns:
+        [depth, B, 6*hidden] modulation stack in compute dtype, i.e. the
+        exact tensor each scanned block's adaln Dense would produce.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    te = sinusoidal_time_embedding(t, cfg.hidden_size)  # fp32 [B, H]
+    w1, b1 = params["t_mlp1"]["kernel"], params["t_mlp1"]["bias"]
+    w2, b2 = params["t_mlp2"]["kernel"], params["t_mlp2"]["bias"]
+    te = te @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    te = nn.silu(te)
+    te = te @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    a = nn.silu(te.astype(dtype))
+    wa = params["blocks"]["adaln"]["kernel"].astype(dtype)  # [D, H, 6H]
+    ba = params["blocks"]["adaln"]["bias"].astype(dtype)    # [D, 6H]
+    return jnp.einsum("bh,dhm->dbm", a, wa) + ba[:, None, :]
 
 
 def count_params(params) -> int:

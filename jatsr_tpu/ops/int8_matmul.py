@@ -166,17 +166,21 @@ def _erf(x):
 
 
 def _gelu(y):
-    """In-kernel GELU.  JATSR_GELU=tanh swaps the exact (erf) form for the
-    tanh approximation (max abs err ~1e-3 — far below the serving path's
-    int8 re-quantisation step, and one transcendental with NO per-element
-    divide vs A&S-erf's exp+divide).  Serving-only VPU knob; quality-gated
-    before any default flip (PERF.md round 2)."""
+    """In-kernel GELU (tanh form by default; JATSR_GELU=erf restores the
+    exact erf form).
+
+    The tanh approximation (max abs err ~1e-3, far below the serving
+    path's int8 re-quantisation step) is one transcendental with NO
+    per-element divide, vs A&S-erf's exp+divide: +14% END-TO-END sampler
+    throughput (66.1 -> 75.2 audio-sec/s) because the fused MLP kernel is
+    VPU-epilogue-bound.  Quality gate PASSED: LSD delta 0.00 dB, Mel L1
+    delta <= 0.02 on the held-out eval (PERF.md round 2)."""
     import os
 
-    if os.environ.get("JATSR_GELU") == "tanh":
-        c = math.sqrt(2.0 / math.pi)
-        return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
-    return 0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))
+    if os.environ.get("JATSR_GELU", "tanh") == "erf":
+        return 0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))
+    c = math.sqrt(2.0 / math.pi)
+    return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
 
 
 def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):

@@ -56,7 +56,7 @@ class FlowSampler:
     """
 
     def __init__(self, model_fn: Callable, cfg: Optional[SamplerConfig] = None,
-                 params=None):
+                 params=None, adaln_fn: Optional[Callable] = None):
         """Two calling conventions:
 
         - ``FlowSampler(lambda z, t, c: ..., cfg)`` — model_fn closes over
@@ -65,35 +65,59 @@ class FlowSampler:
           weights flow through the jit boundary as a real argument.  REQUIRED
           for large models: closed-over params serialise as constants into
           the HLO (gigabytes for the 766 M model).
+
+        ``adaln_fn(params, t [1]) -> [depth, 1, 6H]`` (models.dit.
+        adaln_tables) enables the hoisted-AdaLN serving path: the per-layer
+        modulations for EVERY step of the (static) schedule are computed
+        once before the ODE loop, and ``model_fn`` is then called as
+        ``model_fn(params, z, t, c, mod)``.  ~36% of the model's weights
+        (the adaln stack) leave the per-step working set.
         """
         self.model_fn = model_fn
         self.cfg = cfg or SamplerConfig()
         self.params = params
+        self.adaln_fn = adaln_fn
 
-    def _model(self, params, z, t, c):
+    def _model(self, params, z, t, c, mod=None):
         if self.params is None:
             return self.model_fn(z, t, c)
+        if mod is not None:
+            return self.model_fn(params, z, t, c, mod)
         return self.model_fn(params, z, t, c)
 
-    def _velocity(self, params, z, t, cond):
+    def _velocity(self, params, z, t, cond, mod=None):
         eps = self.cfg.velocity_eps
         t_b = jnp.full((z.shape[0],), t, dtype=jnp.float32)
-        x_pred = self._model(params, z, t_b, cond).astype(z.dtype)
+        x_pred = self._model(params, z, t_b, cond, mod).astype(z.dtype)
         return (x_pred - z) / (1.0 - t + eps), x_pred
+
+    def _tables(self, params, timesteps):
+        """[n+1, depth, 1, 6H] AdaLN stack for every schedule point (None
+        when the hoisted path is off)."""
+        if self.adaln_fn is None:
+            return None
+        return jax.vmap(lambda tv: self.adaln_fn(params, tv[None]))(timesteps)
+
+    @staticmethod
+    def _mod_at(mods, i):
+        return None if mods is None else mods[i]
 
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(3,))
     def _sample_nocfg(self, params, cond, z0, timesteps):
         jump = self.cfg.t_jump_threshold
         heun = self.cfg.solver == "heun"
+        mods = self._tables(params, timesteps)
 
         def body(i, z):
             t_curr = timesteps[i]
             t_next = timesteps[i + 1]
             dt = t_next - t_curr
-            v1, x_pred = self._velocity(params, z, t_curr, cond)
+            v1, x_pred = self._velocity(params, z, t_curr, cond,
+                                        self._mod_at(mods, i))
             if heun:
                 z_eul = z + v1 * dt
-                v2, _ = self._velocity(params, z_eul, t_next, cond)
+                v2, _ = self._velocity(params, z_eul, t_next, cond,
+                                       self._mod_at(mods, i + 1))
                 # fall back to Euler for the final (t_next ~ 1) interval
                 v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
             else:
@@ -110,29 +134,31 @@ class FlowSampler:
         jump = self.cfg.t_jump_threshold
         heun = self.cfg.solver == "heun"
         B = cond.shape[0]
+        mods = self._tables(params, timesteps)
         # Conditional half first, unconditional (zero) half second — one
         # forward on 2B per step (infer_test_v3m2.py:154-156).
         cond_full = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
-        def guided_velocity(z, t):
+        def guided_velocity(z, t, mod):
             z2 = jnp.concatenate([z, z], axis=0)
             t_b = jnp.full((2 * B,), t, dtype=jnp.float32)
-            pred = self._model(params, z2, t_b, cond_full).astype(z.dtype)
+            pred = self._model(params, z2, t_b, cond_full, mod).astype(z.dtype)
             x_c, x_u = pred[:B], pred[B:]
             x_pred = x_u + cfg_scale * (x_c - x_u)
             return (x_pred - z) / (1.0 - t + eps), x_pred
 
-        def plain_velocity(z, t):
-            return self._velocity(params, z, t, cond)
+        def plain_velocity(z, t, mod):
+            return self._velocity(params, z, t, cond, mod)
 
         def make_body(velocity):
             def body(i, z):
                 t_curr = timesteps[i]
                 t_next = timesteps[i + 1]
                 dt = t_next - t_curr
-                v1, x_pred = velocity(z, t_curr)
+                v1, x_pred = velocity(z, t_curr, self._mod_at(mods, i))
                 if heun:
-                    v2, _ = velocity(z + v1 * dt, t_next)
+                    v2, _ = velocity(z + v1 * dt, t_next,
+                                     self._mod_at(mods, i + 1))
                     v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
                 else:
                     v = v1

@@ -172,3 +172,35 @@ def test_bf16_scores_close_to_fp32():
     np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
                                atol=0.02, rtol=0.02)
     assert not np.array_equal(np.asarray(o16), np.asarray(o32))
+
+
+def test_adaln_tables_match_inline_path():
+    """The hoisted-AdaLN serving path (models.dit.adaln_tables + DiT's
+    adaln_mod argument) matches the per-block inline adaln computation to
+    bf16 tolerance (the table einsum contracts the same weights in one
+    stacked dot)."""
+    import dataclasses
+
+    import numpy as np
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.models.dit import adaln_tables
+
+    cfg = dataclasses.replace(get_preset("tiny").model, dropout=0.0,
+                              drop_path_rate=0.0)
+    model = DiT(cfg)
+    key = jax.random.PRNGKey(0)
+    B, T = 2, 64
+    x = jax.random.normal(key, (B, T, cfg.input_channels))
+    t = jnp.full((B,), 0.37)
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.cond_channels))
+    params = model.init({"params": key, "dropout": key}, x, t, c)["params"]
+    # zero-init adaln would make the tables trivially equal — perturb
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+    o_inline = model.apply({"params": params}, x, t, c)
+    mod = adaln_tables(cfg, params, t[:1])  # [depth, 1, 6H], broadcast on B
+    o_tables = model.apply({"params": params}, x, t, c, adaln_mod=mod)
+    np.testing.assert_allclose(np.asarray(o_tables), np.asarray(o_inline),
+                               atol=2e-2, rtol=2e-2)

@@ -128,9 +128,13 @@ def main():
     cond = jax.random.normal(key, (B, T, C), jnp.float32)
     params = model.init({"params": key, "dropout": key},
                         cond, jnp.zeros((B,), jnp.float32), cond)["params"]
+    from jatsr_tpu.models.dit import adaln_tables
+
     sampler = FlowSampler(
-        lambda p, z, t, c: model.apply({"params": p}, z, t, c),
+        lambda p, z, t, c, mod=None: model.apply({"params": p}, z, t, c,
+                                                 adaln_mod=mod),
         SamplerConfig(num_steps=args.steps, cfg_scale=3.0), params=params,
+        adaln_fn=lambda p, tv: adaln_tables(mcfg, p, tv),
     )
 
     def run(i):
