@@ -56,6 +56,10 @@ def main():
                          "PERF.md round 2)")
     ap.add_argument("--no-fused-mlp", dest="fused_mlp", action="store_false",
                     help="disable the fused serving MLP kernel")
+    ap.add_argument("--fused-qkv", action="store_true", default=True,
+                    help="merge q/k/v into one int8 dot (bit-identical to "
+                         "separate projections; requires int8_static)")
+    ap.add_argument("--no-fused-qkv", dest="fused_qkv", action="store_false")
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2"])
     ap.add_argument("--scores-dtype", default="bfloat16",
@@ -103,6 +107,7 @@ def main():
         matmul_precision=precision,
         quantize_head=args.quantize_head,
         fused_mlp=args.fused_mlp,
+        fused_qkv=args.fused_qkv and precision == "int8_static",
         attention_impl=args.attention,
         scores_dtype=args.scores_dtype,
     )

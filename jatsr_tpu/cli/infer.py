@@ -131,6 +131,9 @@ def main(argv=None):
             serving, matmul_precision="int8_static",
             quantize_head=args.quantize_head,
             fused_mlp=args.fused_mlp,
+            # bit-identical to separate q/k/v dots (per-output-column
+            # scales) — no separate quality gate needed
+            fused_qkv=True,
             dropout=0.0, drop_path_rate=0.0,
         )
         model = DiT(mcfg)

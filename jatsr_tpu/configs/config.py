@@ -91,6 +91,12 @@ class ModelConfig:
     # dot directly (ops/int8_matmul.py:int8_dense_gelu_quant).  Requires
     # matmul_precision="int8_static"; inference-only.
     fused_mlp: bool = False
+    # Merge q/k/v projections into one [H, (Hq+2*Hkv)*D] int8 dot: one
+    # activation-quant pass + one kernel launch instead of three.  Bit-
+    # identical to separate projections (per-output-column weight scales;
+    # same per-row input scale).  Requires matmul_precision="int8_static";
+    # quantize_params_static concatenates trained q/k/v weights on load.
+    fused_qkv: bool = False
     # Backward rematerialisation policy per DiT block:
     #   "full" — recompute everything (min HBM),
     #   "dots" — save matmul outputs, recompute elementwise (faster bwd),

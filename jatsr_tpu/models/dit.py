@@ -105,9 +105,18 @@ class GQAttention(nn.Module):
         dense = lambda feat, name: mk(feat, name,
                                       use_bias=cfg.attention_bias)
 
-        q = dense(Hq * D, "q_proj")(x).reshape(B, N, Hq, D)
-        k = dense(Hkv * D, "k_proj")(x).reshape(B, N, Hkv, D)
-        v = dense(Hkv * D, "v_proj")(x).reshape(B, N, Hkv, D)
+        if cfg.fused_qkv and cfg.matmul_precision == "int8_static":
+            # One [H, (Hq+2Hkv)*D] dot: a third of the activation-quant
+            # passes and launches; bit-identical to separate projections
+            # (per-output-column weight scales).
+            qkv = dense((Hq + 2 * Hkv) * D, "qkv_proj")(x)
+            q = qkv[..., : Hq * D].reshape(B, N, Hq, D)
+            k = qkv[..., Hq * D: (Hq + Hkv) * D].reshape(B, N, Hkv, D)
+            v = qkv[..., (Hq + Hkv) * D:].reshape(B, N, Hkv, D)
+        else:
+            q = dense(Hq * D, "q_proj")(x).reshape(B, N, Hq, D)
+            k = dense(Hkv * D, "k_proj")(x).reshape(B, N, Hkv, D)
+            v = dense(Hkv * D, "v_proj")(x).reshape(B, N, Hkv, D)
 
         if cfg.pos_embed == "rope":
             q = apply_rope(q, cos, sin)
@@ -371,11 +380,33 @@ class DiT(nn.Module):
         x_in = x_in.reshape(B, N, P * 2 * C)
 
         # Bottleneck patch embed: Dense(P*2C -> bottleneck) -> GELU -> Dense
-        # (jat_audiosr_v2.py:204-208).
+        # (jat_audiosr_v2.py:204-208).  Serving: same fused dot+GELU+requant
+        # kernel as the block MLPs (it IS the same Dense-GELU-Dense shape).
         mk = _dense_factory(cfg)
-        h = mk(cfg.bottleneck_dim, "patch_in")(x_in)
-        h = nn.gelu(h, approximate=False)
-        h = mk(cfg.hidden_size, "patch_out")(h)
+        Kp, Bn = P * 2 * C, cfg.bottleneck_dim
+        if (cfg.fused_mlp and cfg.matmul_precision == "int8_static"
+                and Kp % 128 == 0 and Bn % 128 == 0):
+            from ..ops.int8_matmul import int8_dense_gelu_quant
+            from ..ops.quant import QuantParams
+
+            w1q, w1s, b1 = QuantParams(Kp, Bn, name="patch_in")()
+            w2q, w2s, b2 = QuantParams(Bn, cfg.hidden_size,
+                                       name="patch_out")()
+            g_q, g_s = int8_dense_gelu_quant(
+                x_in.astype(dtype).reshape(B * N, Kp), w1q, w1s,
+                b1.reshape(1, -1).astype(jnp.float32),
+                interpret=jax.default_backend() != "tpu",
+            )
+            acc = jax.lax.dot_general(
+                g_q, w2q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            h = (acc * g_s * w2s + b2).astype(dtype).reshape(
+                B, N, cfg.hidden_size)
+        else:
+            h = mk(cfg.bottleneck_dim, "patch_in")(x_in)
+            h = nn.gelu(h, approximate=False)
+            h = mk(cfg.hidden_size, "patch_out")(h)
 
         # v1 legacy: learnable absolute positional embedding added after the
         # patch embed (ref jat_audiosr.py:186-199); RoPE is skipped inside

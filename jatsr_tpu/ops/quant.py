@@ -217,6 +217,19 @@ def quantize_params_static(params, static_params_shape,
     def convert(src: dict, dst: dict) -> dict:
         out = {}
         for k, v in dst.items():
+            if k == "qkv_proj" and k not in src:
+                # fused_qkv serving layout: concatenate the trained q/k/v
+                # projections on the feature axis (kernels [..., K, N],
+                # biases [..., N]); per-output-column scales keep the fused
+                # quantisation bit-identical to three separate dots.
+                parts = [src[n] for n in ("q_proj", "k_proj", "v_proj")]
+                merged = {"kernel": jnp.concatenate(
+                    [p["kernel"] for p in parts], axis=-1)}
+                if "bias" in parts[0]:
+                    merged["bias"] = jnp.concatenate(
+                        [p["bias"] for p in parts], axis=-1)
+                out[k] = convert(merged, v)
+                continue
             if k == "kernel_q":
                 w = kernel_f32(src)
                 s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) * _INV127

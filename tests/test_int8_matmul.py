@@ -225,3 +225,42 @@ def test_int8_mlp_full_kernel_close_to_half_path():
     close = np.isclose(np.asarray(full, np.float32),
                        np.asarray(half, np.float32), atol=0.02, rtol=0.02)
     assert close.mean() > 0.99, close.mean()
+
+
+def test_fused_qkv_matches_separate():
+    """fused_qkv (one merged q/k/v int8 dot) is bit-identical to the three
+    separate projections: per-output-column weight scales and the shared
+    per-row input scale make the merge exact.  Covers the
+    quantize_params_static q/k/v concatenation too."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.ops.quant import quantize_params_static
+
+    tiny = get_preset("tiny").model
+    base = dataclasses.replace(tiny, matmul_precision="bf16",
+                               dropout=0.0, drop_path_rate=0.0)
+    key = jax.random.PRNGKey(0)
+    B, T = 2, 64
+    x = jax.random.normal(key, (B, T, tiny.input_channels))
+    t = jnp.full((B,), 0.3)
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, tiny.cond_channels))
+    params = DiT(base).init({"params": key, "dropout": key}, x, t, c)["params"]
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+    outs = {}
+    for fused in (False, True):
+        scfg = dataclasses.replace(base, matmul_precision="int8_static",
+                                   fused_qkv=fused)
+        m = DiT(scfg)
+        shapes = jax.eval_shape(
+            lambda m=m: m.init({"params": key, "dropout": key},
+                               x, t, c)["params"])
+        qp = quantize_params_static(params, shapes)
+        outs[fused] = m.apply({"params": qp}, x, t, c)
+    assert jnp.array_equal(outs[False], outs[True]), (
+        float(jnp.abs(outs[False] - outs[True]).max()))
