@@ -61,7 +61,7 @@ def main():
                          "separate projections; requires int8_static)")
     ap.add_argument("--no-fused-qkv", dest="fused_qkv", action="store_false")
     ap.add_argument("--attention", default="xla",
-                    choices=["xla", "pallas", "pallas2"])
+                    choices=["xla", "pallas", "pallas2", "flash"])
     ap.add_argument("--scores-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="attention score-matrix storage dtype (default "

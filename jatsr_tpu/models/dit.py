@@ -134,6 +134,17 @@ class GQAttention(nn.Module):
             out = fn(q, k, v, interpret=jax.default_backend() != "tpu")
             out = out.reshape(B, N, Hq * D)
             return dense(cfg.hidden_size, "out_proj")(out)
+        if cfg.attention_impl == "flash" and deterministic:
+            # v3 kernel: natural flat layout (no head transpose), per-batch
+            # programs, manually pipelined head loop (ops/attention.py).
+            from ..ops.attention import gqa_attention_flash
+
+            out = gqa_attention_flash(
+                q.reshape(B, N, Hq * D), k.reshape(B, N, Hkv * D),
+                v.reshape(B, N, Hkv * D), Hq, Hkv,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return dense(cfg.hidden_size, "out_proj")(out)
 
         q = q.reshape(B, N, Hkv, G, D)
         # Logits in fp32 on the MXU.

@@ -106,6 +106,98 @@ def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :N] if Np != N else out
 
 
+def _attn_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                       n_valid: int, hq: int, hkv: int, d: int):
+    """One program = one batch element, ALL heads, natural [Np, H*D]
+    layout (no relayout/transpose outside the kernel — the cost that sank
+    the first two kernels).  Heads are static column slices; the next
+    head's score dot is issued before the current head's softmax so the
+    MXU streams while the VPU works (same manual-pipeline trick as the
+    fused MLP kernel)."""
+    g = hq // hkv
+    q = q_ref[0]  # [Np, Hq*D]
+    k = k_ref[0]  # [Np, Hkv*D]
+    v = v_ref[0]
+    np_ = q.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
+    mask = col < n_valid
+
+    def score(h):
+        kv, _ = divmod(h, g)
+        s = jax.lax.dot_general(
+            q[:, h * d:(h + 1) * d], k[:, kv * d:(kv + 1) * d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return jnp.where(mask, s, -jnp.inf)
+
+    s_next = score(0)
+    for h in range(hq):
+        s = s_next
+        if h + 1 < hq:
+            s_next = score(h + 1)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        kv = h // g
+        o = jnp.dot(w, v[:, kv * d:(kv + 1) * d],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
+                                             "interpret"))
+def gqa_attention_flash(q: jax.Array, k: jax.Array, v: jax.Array,
+                        num_q_heads: int, num_kv_heads: int,
+                        interpret: bool = False) -> jax.Array:
+    """Fused GQA, one program per batch element, flat head layout.
+
+    Args:
+        q: [B, N, Hq*D] (RoPE already applied, flat head-major columns)
+        k/v: [B, N, Hkv*D]
+    Returns:
+        [B, N, Hq*D] in q's dtype.
+
+    v3 of the attention kernels: consumes the projection outputs' natural
+    layout, so the only HBM cost beyond q/k/v/out is the 8-sublane pad of
+    N.  Scores/softmax stay in VMEM (f32 — no bf16 round, strictly more
+    precise than the scores_dtype=bfloat16 XLA path)."""
+    B, N, QD = q.shape
+    D = QD // num_q_heads
+    scale = 1.0 / math.sqrt(D)
+    Np = _round_up(N, 8)
+    if Np != N:
+        pad = ((0, 0), (0, Np - N), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    kernel = functools.partial(
+        _attn_kernel_flash, scale=scale, n_valid=N,
+        hq=num_q_heads, hkv=num_kv_heads, d=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, QD), q.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, QD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, k.shape[2]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, v.shape[2]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, QD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * num_q_heads * Np * Np * D,
+            bytes_accessed=2 * Np * QD * 2 + 2 * Np * k.shape[2] * 2,
+            transcendentals=num_q_heads * Np * Np,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :N] if Np != N else out
+
+
 def _attn_kernel_grouped(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                          n_valid: int):
     """One program = one (batch, kv-head): all G query heads of the group

@@ -147,3 +147,34 @@ def test_grouped_kernel_matches_einsum():
     want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_kernel_matches_einsum():
+    """flash (per-batch programs, flat head layout, in-kernel head loop)
+    parity with the XLA einsum path."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.ops.attention import gqa_attention_flash
+
+    key = jax.random.PRNGKey(6)
+    B, N, Hq, Hkv, D = 2, 90, 8, 2, 32  # N deliberately not sublane-aligned
+    G = Hq // Hkv
+    q = jax.random.normal(key, (B, N, Hq, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(7), (B, N, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(8), (B, N, Hkv, D), jnp.float32)
+
+    got = gqa_attention_flash(
+        q.reshape(B, N, Hq * D), k.reshape(B, N, Hkv * D),
+        v.reshape(B, N, Hkv * D), Hq, Hkv, interpret=True,
+    ).reshape(B, N, Hq, D)
+
+    qg = q.reshape(B, N, Hkv, G, D)
+    s = jnp.einsum("bnkgd,bmkd->bkgnm", qg, k) / math.sqrt(D)
+    w = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

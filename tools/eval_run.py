@@ -51,7 +51,7 @@ def main():
                          "int8_static weight layout; quality gate for the "
                          "fused serving MLP)")
     ap.add_argument("--attention", default="xla",
-                    choices=["xla", "pallas", "pallas2"])
+                    choices=["xla", "pallas", "pallas2", "flash"])
     ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
                     metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")

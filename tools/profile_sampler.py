@@ -91,7 +91,7 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--attention", default="xla",
-                    choices=["xla", "pallas", "pallas2"])
+                    choices=["xla", "pallas", "pallas2", "flash"])
     ap.add_argument("--quantize-head", action="store_true")
     ap.add_argument("--out", default="/tmp/jatsr_profile")
     ap.add_argument("--summarize-only", default=None,
@@ -120,6 +120,8 @@ def main():
         quantize_head=args.quantize_head,
         scores_dtype=args.scores_dtype,
         fused_mlp=args.fused_mlp,
+        fused_qkv=(args.precision or ("int8" if args.int8 else "bf16"))
+        == "int8_static",
         attention_impl=args.attention,
     )
     model = DiT(mcfg)
