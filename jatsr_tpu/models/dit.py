@@ -110,6 +110,21 @@ class GQAttention(nn.Module):
             # passes and launches; bit-identical to separate projections
             # (per-output-column weight scales).
             qkv = dense((Hq + 2 * Hkv) * D, "qkv_proj")(x)
+            import os
+
+            if (cfg.attention_impl == "flash" and deterministic
+                    and cfg.pos_embed == "rope"
+                    and os.environ.get("JATSR_FLASH_QKV", "1") == "1"):
+                # v3.1: hand the raw fused projection to the kernel —
+                # head split AND RoPE happen in-kernel (no XLA slices/
+                # rotate-half concats, ~1.3 ms/step at v3 geometry).
+                from ..ops.attention import gqa_attention_flash_qkv
+
+                out = gqa_attention_flash_qkv(
+                    qkv, cos, sin, Hq, Hkv,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return dense(cfg.hidden_size, "out_proj")(out)
             q = qkv[..., : Hq * D].reshape(B, N, Hq, D)
             k = qkv[..., Hq * D: (Hq + Hkv) * D].reshape(B, N, Hkv, D)
             v = qkv[..., (Hq + Hkv) * D:].reshape(B, N, Hkv, D)

@@ -198,6 +198,104 @@ def gqa_attention_flash(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :N] if Np != N else out
 
 
+def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
+                           scale: float, n_valid: int, hq: int, hkv: int,
+                           d: int):
+    """Flash v3.1: consumes the UNSPLIT fused-QKV projection output and
+    applies RoPE in-kernel — the XLA-level qkv split slices + rotate-half
+    concats (~1.3 ms/step at v3 geometry) disappear into VPU work that
+    overlaps the MXU head loop."""
+    g = hq // hkv
+    qkv = qkv_ref[0]          # [Np, (Hq + 2 Hkv) * D]
+    np_ = qkv.shape[0]
+    cos = cos_ref[:].astype(qkv.dtype)
+    sin = sin_ref[:].astype(qkv.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
+    mask = col < n_valid
+
+    def rope(x):  # [Np, D], half-rotation form (models/dit.py:apply_rope)
+        x1, x2 = x[:, : d // 2], x[:, d // 2:]
+        xr = jnp.concatenate([-x2, x1], axis=1)
+        return x * cos + xr * sin
+
+    k0 = hq * d
+    v0 = (hq + hkv) * d
+    ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]) for h in range(hkv)]
+    vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
+
+    def score(h):
+        q_h = rope(qkv[:, h * d:(h + 1) * d])
+        s = jax.lax.dot_general(
+            q_h, ks[h // g],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return jnp.where(mask, s, -jnp.inf)
+
+    s_next = score(0)
+    for h in range(hq):
+        s = s_next
+        if h + 1 < hq:
+            s_next = score(h + 1)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
+        o = jnp.dot(w, vs[h // g], preferred_element_type=jnp.float32)
+        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
+                                             "interpret"))
+def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
+                            num_q_heads: int, num_kv_heads: int,
+                            interpret: bool = False) -> jax.Array:
+    """Flash GQA from the raw fused-QKV projection output.
+
+    Args:
+        qkv: [B, N, (Hq + 2*Hkv) * D] — q heads, then k heads, then v
+            heads, PRE-RoPE (rotation happens in-kernel).
+        cos/sin: [N, D] fp32 RoPE tables.
+    Returns:
+        [B, N, Hq*D] in qkv's dtype.
+    """
+    B, N, TD = qkv.shape
+    D = TD // (num_q_heads + 2 * num_kv_heads)
+    scale = 1.0 / math.sqrt(D)
+    Np = _round_up(N, 8)
+    if Np != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+        pad_t = ((0, Np - N), (0, 0))
+        cos, sin = jnp.pad(cos, pad_t), jnp.pad(sin, pad_t)
+
+    kernel = functools.partial(
+        _attn_kernel_flash_qkv, scale=scale, n_valid=N,
+        hq=num_q_heads, hkv=num_kv_heads, d=D,
+    )
+    QD = num_q_heads * D
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, QD), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, TD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, QD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * num_q_heads * Np * Np * D,
+            bytes_accessed=Np * TD * 2 + Np * QD * 2,
+            transcendentals=num_q_heads * Np * Np,
+        ),
+        interpret=interpret,
+    )(qkv, cos, sin)
+    return out[:, :N] if Np != N else out
+
+
 def _attn_kernel_grouped(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                          n_valid: int):
     """One program = one (batch, kv-head): all G query heads of the group

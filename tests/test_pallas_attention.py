@@ -178,3 +178,33 @@ def test_flash_kernel_matches_einsum():
     want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq, D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_qkv_kernel_matches_split_path():
+    """flash v3.1 (unsplit QKV + in-kernel RoPE) parity with splitting +
+    apply_rope + the flash v3 kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.models.dit import apply_rope, rope_cos_sin
+    from jatsr_tpu.ops.attention import (
+        gqa_attention_flash,
+        gqa_attention_flash_qkv,
+    )
+
+    key = jax.random.PRNGKey(9)
+    B, N, Hq, Hkv, D = 2, 90, 8, 2, 32
+    qkv = jax.random.normal(key, (B, N, (Hq + 2 * Hkv) * D), jnp.float32)
+    cos, sin = rope_cos_sin(N, D)
+
+    got = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv, interpret=True)
+
+    q = qkv[..., : Hq * D].reshape(B, N, Hq, D)
+    k = qkv[..., Hq * D: (Hq + Hkv) * D].reshape(B, N, Hkv, D)
+    v = qkv[..., (Hq + Hkv) * D:]
+    q = apply_rope(q, cos, sin).reshape(B, N, Hq * D)
+    k = apply_rope(k, cos, sin).reshape(B, N, Hkv * D)
+    want = gqa_attention_flash(q, k, v, Hq, Hkv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
