@@ -115,6 +115,27 @@ class GQAttention(nn.Module):
             if (cfg.attention_impl == "flash" and deterministic
                     and cfg.pos_embed == "rope"
                     and os.environ.get("JATSR_FLASH_QKV", "1") == "1"):
+                interp = jax.default_backend() != "tpu"
+                if os.environ.get("JATSR_FLASH_OUT", "0") == "1":
+                    # v3.2 (opt-in; measured 82.1 vs 84.2 for v3.1 —
+                    # the in-kernel out-proj dot serialises with the head
+                    # loop while XLA's separate dot overlaps neighbours):
+                    # the int8 output projection rides inside the kernel,
+                    # per-head outputs assembled and row-quantised in
+                    # VMEM, never visiting HBM.
+                    from ..ops.attention import gqa_attention_flash_out
+                    from ..ops.quant import QuantParams
+
+                    woq, wos, bo = QuantParams(
+                        Hq * D, cfg.hidden_size,
+                        use_bias=cfg.attention_bias, name="out_proj")()
+                    if bo is None:
+                        bo = jnp.zeros((cfg.hidden_size,), jnp.float32)
+                    return gqa_attention_flash_out(
+                        qkv, cos, sin, woq, wos.reshape(1, -1),
+                        bo.reshape(1, -1).astype(jnp.float32),
+                        Hq, Hkv, interpret=interp,
+                    )
                 # v3.1: hand the raw fused projection to the kernel —
                 # head split AND RoPE happen in-kernel (no XLA slices/
                 # rotate-half concats, ~1.3 ms/step at v3 geometry).
@@ -122,7 +143,7 @@ class GQAttention(nn.Module):
 
                 out = gqa_attention_flash_qkv(
                     qkv, cos, sin, Hq, Hkv,
-                    interpret=jax.default_backend() != "tpu",
+                    interpret=interp,
                 )
                 return dense(cfg.hidden_size, "out_proj")(out)
             q = qkv[..., : Hq * D].reshape(B, N, Hq, D)

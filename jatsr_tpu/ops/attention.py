@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .int8_matmul import _INV127 as _INV127_A
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -293,6 +295,124 @@ def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
         ),
         interpret=interpret,
     )(qkv, cos, sin)
+    return out[:, :N] if Np != N else out
+
+
+def _attn_kernel_flash_out(qkv_ref, cos_ref, sin_ref, wo_ref, wos_ref,
+                           bo_ref, o_ref, *, scale: float, n_valid: int,
+                           hq: int, hkv: int, d: int):
+    """Flash v3.2: v3.1 plus the OUTPUT PROJECTION fused in.  The
+    per-head attention outputs are assembled in VMEM, row-quantised once
+    (same per-row absmax the unfused QuantDense out_proj would apply) and
+    hit the int8 out-projection weights without ever visiting HBM."""
+    g = hq // hkv
+    qkv = qkv_ref[0]
+    np_ = qkv.shape[0]
+    cos = cos_ref[:].astype(qkv.dtype)
+    sin = sin_ref[:].astype(qkv.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
+    mask = col < n_valid
+
+    def rope(x):
+        x1, x2 = x[:, : d // 2], x[:, d // 2:]
+        xr = jnp.concatenate([-x2, x1], axis=1)
+        return x * cos + xr * sin
+
+    k0 = hq * d
+    v0 = (hq + hkv) * d
+    ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]) for h in range(hkv)]
+    vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
+
+    def score(h):
+        q_h = rope(qkv[:, h * d:(h + 1) * d])
+        s = jax.lax.dot_general(
+            q_h, ks[h // g],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        return jnp.where(mask, s, -jnp.inf)
+
+    s_next = score(0)
+    outs = []
+    for h in range(hq):
+        s = s_next
+        if h + 1 < hq:
+            s_next = score(h + 1)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
+        o = jnp.dot(w, vs[h // g], preferred_element_type=jnp.float32)
+        outs.append(o.astype(qkv.dtype))
+    o_full = jnp.concatenate(outs, axis=1).astype(jnp.float32)  # [Np, HqD]
+    so = jnp.maximum(
+        jnp.max(jnp.abs(o_full), axis=1, keepdims=True) * _INV127_A, 1e-12
+    )
+    o_q = jnp.round(o_full / so).astype(jnp.int8)
+    acc = jnp.dot(o_q, wo_ref[:], preferred_element_type=jnp.int32)
+    o_ref[0] = (acc.astype(jnp.float32) * so * wos_ref[:]
+                + bo_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
+                                             "interpret"))
+def gqa_attention_flash_out(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
+                            wo_q: jax.Array, wo_scale: jax.Array,
+                            wo_bias: jax.Array,
+                            num_q_heads: int, num_kv_heads: int,
+                            interpret: bool = False) -> jax.Array:
+    """Flash GQA + fused int8 output projection.
+
+    Args:
+        qkv: [B, N, (Hq + 2*Hkv) * D] pre-RoPE fused projection output.
+        cos/sin: [N, D] fp32 RoPE tables.
+        wo_q / wo_scale / wo_bias: int8 out-proj kernel [Hq*D, H], fp32
+            per-column scales [1, H], fp32 bias [1, H].
+    Returns:
+        [B, N, H] in qkv's dtype (the attention branch output, pre-
+        residual).
+    """
+    B, N, TD = qkv.shape
+    D = TD // (num_q_heads + 2 * num_kv_heads)
+    scale = 1.0 / math.sqrt(D)
+    Np = _round_up(N, 8)
+    if Np != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+        pad_t = ((0, Np - N), (0, 0))
+        cos, sin = jnp.pad(cos, pad_t), jnp.pad(sin, pad_t)
+
+    H = wo_q.shape[1]
+    kernel = functools.partial(
+        _attn_kernel_flash_out, scale=scale, n_valid=N,
+        hq=num_q_heads, hkv=num_kv_heads, d=D,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Np, H), qkv.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Np, TD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, D), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_q_heads * D, H), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Np, H), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * (2 * num_q_heads * Np * D
+                            + num_q_heads * D * H),
+            bytes_accessed=Np * TD * 2 + num_q_heads * D * H + Np * H * 2,
+            transcendentals=num_q_heads * Np * Np,
+        ),
+        interpret=interpret,
+    )(qkv, cos, sin, wo_q, wo_scale, wo_bias)
     return out[:, :N] if Np != N else out
 
 

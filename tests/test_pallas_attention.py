@@ -208,3 +208,37 @@ def test_flash_qkv_kernel_matches_split_path():
     want = gqa_attention_flash(q, k, v, Hq, Hkv, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_flash_out_kernel_matches_unfused_out_proj():
+    """flash v3.2 (fused int8 out-projection) parity with v3.1 + the
+    unfused dynamic per-row quantised out-proj dot."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.models.dit import rope_cos_sin
+    from jatsr_tpu.ops.attention import (
+        gqa_attention_flash_out,
+        gqa_attention_flash_qkv,
+    )
+    from jatsr_tpu.ops.int8_matmul import quantize_cols, quantize_rows
+
+    key = jax.random.PRNGKey(10)
+    B, N, Hq, Hkv, D, H = 2, 90, 8, 2, 32, 128
+    qkv = jax.random.normal(key, (B, N, (Hq + 2 * Hkv) * D), jnp.float32)
+    cos, sin = rope_cos_sin(N, D)
+    wo = jax.random.normal(jax.random.PRNGKey(11), (Hq * D, H)) * 0.05
+    bo = jax.random.normal(jax.random.PRNGKey(12), (1, H)) * 0.1
+    wo_q, wo_s = quantize_cols(wo)
+
+    got = gqa_attention_flash_out(qkv, cos, sin, wo_q, wo_s, bo,
+                                  Hq, Hkv, interpret=True)
+
+    o = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv, interpret=True)
+    o_q, o_s = quantize_rows(o.reshape(B * N, Hq * D))
+    acc = jax.lax.dot_general(o_q, wo_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    want = (acc.astype(jnp.float32) * o_s * wo_s + bo).reshape(B, N, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)

@@ -104,6 +104,9 @@ def main():
 
         mcfg = dataclasses.replace(
             mcfg, matmul_precision="int8_static", fused_mlp=True,
+            # bit-identical merge; required for the flash v3.1/v3.2
+            # kernel branches, so gates exercise the bench config
+            fused_qkv=True,
             dropout=0.0, drop_path_rate=0.0,
         )
         model = DiT(mcfg)
