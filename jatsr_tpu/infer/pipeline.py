@@ -63,6 +63,29 @@ def crossfade_chunks(chunks: List[np.ndarray],
     return result
 
 
+def crossfade_chunks_jnp(chunks, overlap_frames: int):
+    """Device-resident :func:`crossfade_chunks` (same linear fades; jnp
+    ops over static shapes, so the whole stitch stays on the chip)."""
+    if not chunks:
+        raise ValueError("no chunks")
+    result = chunks[0]
+    for cur in chunks[1:]:
+        if overlap_frames > 0 and result.shape[0] >= overlap_frames:
+            fade_out = jnp.linspace(1.0, 0.0, overlap_frames,
+                                    dtype=jnp.float32)[:, None]
+            fade_in = jnp.linspace(0.0, 1.0, overlap_frames,
+                                   dtype=jnp.float32)[:, None]
+            blended = (result[-overlap_frames:] * fade_out
+                       + cur[:overlap_frames] * fade_in)
+            result = jnp.concatenate(
+                [result[:-overlap_frames], blended, cur[overlap_frames:]],
+                axis=0,
+            )
+        else:
+            result = jnp.concatenate([result, cur], axis=0)
+    return result
+
+
 class InferencePipeline:
     """LR latent / LR audio -> generated HR audio at 44.1 kHz."""
 
@@ -134,6 +157,25 @@ class InferencePipeline:
         All chunks are padded to ``chunk_frames`` and sampled in one batched
         jitted call (optionally split into ``max_batch``-sized groups).
         """
+        return np.asarray(self.super_resolve_latent_device(
+            lr_latent, key, num_steps, cfg_scale, max_batch))
+
+    def super_resolve_latent_device(
+        self,
+        lr_latent: np.ndarray,
+        key: Optional[jax.Array] = None,
+        num_steps: Optional[int] = None,
+        cfg_scale: Optional[float] = None,
+        max_batch: int = 0,
+    ) -> jax.Array:
+        """As :meth:`super_resolve_latent` but the whole chain — upload,
+        normalize, chunk, sample, denormalize, crossfade — stays on
+        device and the result is a device array.  One host->device
+        transfer of the LR latent in, zero transfers out; feed the result
+        straight to :meth:`decode_latent` for a device-resident
+        latent->audio path.  (The original flow bounced the ~50 MB latent
+        through the host between sampler and decode — 2 extra PCIe/tunnel
+        hops.)"""
         key = jax.random.PRNGKey(0) if key is None else key
         T = lr_latent.shape[0]
         plan = chunk_plan(T, self.chunk_frames, self.overlap_frames)
@@ -143,11 +185,11 @@ class InferencePipeline:
         # normalized space are exactly the trained CFG null token, whereas
         # zero-padding raw latents would normalize to (0-mean)/std — an
         # out-of-distribution condition the whole chunk attends to.
-        lat_n = np.asarray(self.norm.norm_lr(lr_latent[None]))[0]
-        batch = np.zeros((len(plan), CF, lr_latent.shape[1]), np.float32)
-        for i, (s, e) in enumerate(plan):
-            batch[i, : e - s] = lat_n[s:e]
-        cond = jnp.asarray(batch)
+        lat_n = self.norm.norm_lr(jnp.asarray(lr_latent, jnp.float32)[None])[0]
+        tail = plan[-1][1] - plan[-1][0]
+        if tail < CF:  # pad so every static chunk slice is full-length
+            lat_n = jnp.pad(lat_n, ((0, CF - tail), (0, 0)))
+        cond = jnp.stack([lat_n[s: s + CF] for s, _ in plan])
 
         groups = (
             [cond]
@@ -167,22 +209,25 @@ class InferencePipeline:
             gen = self.sampler(
                 jax.random.fold_in(key, gi), g, num_steps, cfg_scale
             )[:n_real]
-            outs.append(np.asarray(self.norm.denorm_hr(gen)))
-        gen_all = np.concatenate(outs, axis=0)
+            outs.append(self.norm.denorm_hr(gen))
+        gen_all = jnp.concatenate(outs, axis=0)
 
         chunks = [gen_all[i, : e - s] for i, (s, e) in enumerate(plan)]
-        out = crossfade_chunks(chunks, self.overlap_frames)
+        out = crossfade_chunks_jnp(chunks, self.overlap_frames)
         return out[:T]
 
     def encode_lr_audio(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """Mono audio at any rate -> LR latent [T, C] (resample to the codec
         rate, then encode)."""
+        return np.asarray(self._encode_lr_audio_device(audio, sr))
+
+    def _encode_lr_audio_device(self, audio, sr: int) -> jax.Array:
         assert self.codec is not None, "codec required for audio input"
         x = jnp.asarray(audio, jnp.float32).reshape(1, -1, 1)
         if sr != self.sr:
             x = resample(x, sr, self.sr)
         z, _ = self.codec.encode(x)
-        return np.asarray(z[0])
+        return z[0]
 
     def super_resolve_audio(
         self,
@@ -192,13 +237,21 @@ class InferencePipeline:
         num_steps: Optional[int] = None,
         cfg_scale: Optional[float] = None,
     ) -> np.ndarray:
-        """Mono LR audio -> generated full-band audio at the codec rate."""
+        """Mono LR audio -> generated full-band audio at the codec rate.
+
+        The whole chain (resample -> encode -> sample -> crossfade ->
+        decode) is device-resident: audio uploads once, generated audio
+        downloads once."""
         assert self.codec is not None, "codec required for audio output"
-        lr_latent = self.encode_lr_audio(audio, sr)
-        gen = self.super_resolve_latent(lr_latent, key, num_steps, cfg_scale)
-        wav = self.codec.decode(jnp.asarray(gen[None]))
+        lr_latent = self._encode_lr_audio_device(audio, sr)
+        gen = self.super_resolve_latent_device(lr_latent, key, num_steps,
+                                               cfg_scale)
+        wav = self.codec.decode(gen[None])
         return np.asarray(wav)[0, :, 0]
 
-    def decode_latent(self, latent: np.ndarray) -> np.ndarray:
+    def decode_latent(self, latent) -> np.ndarray:
+        """[T, C] latent (host or DEVICE array — pass the result of
+        ``super_resolve_latent_device`` to skip two transfers) -> mono
+        audio."""
         assert self.codec is not None
-        return np.asarray(self.codec.decode(jnp.asarray(latent[None])))[0, :, 0]
+        return np.asarray(self.codec.decode(jnp.asarray(latent)[None]))[0, :, 0]

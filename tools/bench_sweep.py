@@ -18,12 +18,24 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 INFER_CONFIGS = [
-    ("int8 B=8 (default)", ["--batch", "8"]),
-    ("bf16 B=8", ["--batch", "8", "--bf16"]),
-    ("int8 B=16", ["--batch", "16"]),
-    ("int8+head B=8", ["--batch", "8", "--quantize-head"]),
-    ("int8 25-step B=8", ["--batch", "8", "--steps", "25"]),
-    ("int8 fused-quant B=8", ["--batch", "8"], {"JATSR_INT8_IMPL": "fused"}),
+    # Defaults = the full quality-gated serving stack: int8_static +
+    # bf16 scores + fused MLP (tanh, fast epilogue) + fused QKV + flash
+    # v3.1 attention + hoisted AdaLN (PERF.md round 2).
+    ("serving stack B=8 (default)", ["--batch", "8"]),
+    ("bf16 parity path B=8", ["--batch", "8", "--bf16",
+                              "--scores-dtype", "float32",
+                              "--attention", "xla"]),
+    ("stack B=16", ["--batch", "16"]),
+    ("stack, XLA attention", ["--batch", "8", "--attention", "xla"]),
+    ("stack, erf GELU", ["--batch", "8"], {"JATSR_GELU": "erf"}),
+    ("stack, exact epilogue", ["--batch", "8"],
+     {"JATSR_FAST_EPILOGUE": "0"}),
+    ("stack, whole-MLP kernel", ["--batch", "8"],
+     {"JATSR_FUSED_MLP": "full"}),
+    ("stack, fused out-proj", ["--batch", "8"], {"JATSR_FLASH_OUT": "1"}),
+    ("stack, 25-step", ["--batch", "8", "--steps", "25"]),
+    ("stack, cfg-interval .05-.9",
+     ["--batch", "8", "--cfg-interval", "0.05", "0.9"]),
 ]
 
 TRAIN_CONFIGS = [
