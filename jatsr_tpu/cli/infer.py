@@ -51,6 +51,10 @@ def main(argv=None):
                          "(requires --int8)")
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2", "flash"])
+    ap.add_argument("--bf16-decode", action="store_true",
+                    help="run the DAC decoder conv stack in bf16 (half the "
+                         "weight HBM, 2x MXU; parity test "
+                         "tests/test_dac.py)")
     ap.add_argument("--cfg-interval", type=float, nargs=2,
                     default=(0.0, 1.0), metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -149,13 +153,17 @@ def main(argv=None):
         model = DiT(dataclasses.replace(serving, dropout=0.0,
                                         drop_path_rate=0.0))
 
+    import jax.numpy as _jnp
+
+    dac_dtype = _jnp.bfloat16 if args.bf16_decode else None
     if args.dac_weights:
         from ..models.dac.convert import load_torch_checkpoint
 
-        codec = DAC(load_torch_checkpoint(args.dac_weights))
+        codec = DAC(load_torch_checkpoint(args.dac_weights),
+                    compute_dtype=dac_dtype)
     else:
         print("[warn] no --dac-weights: RANDOM codec (testing only)")
-        codec = DAC.random_init(0)
+        codec = DAC.random_init(0, compute_dtype=dac_dtype)
 
     norm = Normalizer(*load_stats(args.stats))
     scfg = dataclasses.replace(

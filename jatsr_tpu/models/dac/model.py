@@ -236,9 +236,17 @@ class DAC:
     returns the quantised continuous latent; ``decode`` synthesises audio.
     """
 
-    def __init__(self, params: Dict, cfg: Optional[DACConfig] = None):
+    def __init__(self, params: Dict, cfg: Optional[DACConfig] = None,
+                 compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` runs the conv stacks in bf16
+        (half the weight HBM, 2x MXU rate — a serving knob for the decode
+        leg of the inference pipeline; parity vs fp32 is checked in
+        tests/test_dac.py).  Weights are cast once here; snake's
+        sin**2/alpha stays in the compute dtype (bounded, safe), the
+        final tanh output is returned fp32."""
         self.cfg = cfg or DACConfig()
         self.params = params
+        self.compute_dtype = compute_dtype
         c = self.cfg
         self._encode = jax.jit(
             lambda p, a: quantize(p, encoder_forward(p, a, c), c)
@@ -246,12 +254,31 @@ class DAC:
         self._encode_continuous = jax.jit(
             lambda p, a: encoder_forward(p, a, c)
         )
-        self._decode = jax.jit(lambda p, z: decoder_forward(p, z, c))
+        if compute_dtype is not None:
+            # Decode-leg serving mode: decoder weights cast once; the
+            # encode/quantize paths stay fp32 (bf16 codebook distances
+            # could flip nearest-code decisions near ties).
+            self._decode_params = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "astype") and x.dtype == jnp.float32 else x,
+                params["decoder"],
+            )
+            self._decode = jax.jit(
+                lambda p, z: decoder_forward(
+                    {"decoder": p}, z.astype(compute_dtype), c
+                ).astype(jnp.float32)
+            )
+        else:
+            self._decode_params = params["decoder"]
+            self._decode = jax.jit(
+                lambda p, z: decoder_forward({"decoder": p}, z, c))
 
     @classmethod
-    def random_init(cls, seed: int = 0, cfg: Optional[DACConfig] = None):
+    def random_init(cls, seed: int = 0, cfg: Optional[DACConfig] = None,
+                    compute_dtype=None):
         cfg = cfg or DACConfig()
-        return cls(init_params(jax.random.PRNGKey(seed), cfg), cfg)
+        return cls(init_params(jax.random.PRNGKey(seed), cfg), cfg,
+                   compute_dtype=compute_dtype)
 
     def pad_audio(self, audio: jax.Array) -> jax.Array:
         t = audio.shape[1]
@@ -270,10 +297,10 @@ class DAC:
 
     def decode(self, z: jax.Array) -> jax.Array:
         """[B, T, latent] -> [B, T*hop, 1]."""
-        return self._decode(self.params, z)
+        return self._decode(self._decode_params, z)
 
     def decode_from_codes(self, codes: jax.Array) -> jax.Array:
         """[B, T, n_codebooks] int codes -> [B, T*hop, 1] (discrete-token
         storage path: ~18x smaller than the fp16 continuous latents)."""
         z = decode_codes(self.params, codes, self.cfg)
-        return self._decode(self.params, z)
+        return self._decode(self._decode_params, z)

@@ -459,8 +459,9 @@ def test_infer_cli_serving_knobs(trained, tmp_path, monkeypatch, capsys):
     assert tiny.latent_dim == C
     monkeypatch.setattr(
         DAC, "random_init",
-        classmethod(lambda cls, seed=0, cfg=None: DAC(
-            init_params(jax.random.PRNGKey(seed), tiny), tiny)),
+        classmethod(lambda cls, seed=0, cfg=None, compute_dtype=None: DAC(
+            init_params(jax.random.PRNGKey(seed), tiny), tiny,
+            compute_dtype=compute_dtype)),
     )
 
     inp = tmp_path / "song.lr.npy"

@@ -63,7 +63,10 @@ def main():
     dummy = jax.random.normal(key, (1, 64, C))
     params = model.init({"params": key, "dropout": key}, dummy,
                         jnp.zeros((1,)), dummy)["params"]
-    codec = DAC.random_init(0)  # full 44.1 kHz geometry (rates 2/4/8/8)
+    # full 44.1 kHz geometry (rates 2/4/8/8); bf16 decode leg when int8
+    # serving is on (parity: tests/test_dac.py::test_bf16_decode_close_to_fp32)
+    codec = DAC.random_init(
+        0, compute_dtype=jnp.bfloat16 if args.int8 else None)
     norm = Normalizer(np.zeros(C), np.ones(C), np.zeros(C), np.ones(C))
     pipe = InferencePipeline(
         model, params, norm, codec,
