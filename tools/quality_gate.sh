@@ -1,0 +1,37 @@
+#!/bin/bash
+# Serving-knob quality gate: train a small model end-to-end on synthetic
+# songs, then eval candidate serving configs against the fp32/bf16 parity
+# path on held-out songs.  A knob passes when LSD/Mel deltas stay within
+# 0.1 dB (in practice every shipped knob measured <= 0.02).
+#
+# Usage: tools/quality_gate.sh [workdir]   (default /tmp/qgate)
+# Reuses an existing workdir/checkpoint when present — the gate compares
+# DELTAS between serving configs on the SAME checkpoint, so a partially
+# trained model is fine.
+set -ex
+cd "$(dirname "$0")/.."
+W=${1:-/tmp/qgate}
+RUN=checkpoints/v1/qgate
+mkdir -p "$W"
+
+if [ ! -d "$W/data" ]; then
+  python tools/make_synthetic_songs.py --out-dir "$W/songs" --n 12
+  timeout 2400 python -m jatsr_tpu.cli.prepare_dataset \
+    --source-dirs "$W/songs" --output-dir "$W/data"
+fi
+if [ ! -d "$RUN/last" ]; then
+  timeout 5400 python -m jatsr_tpu.cli.train --preset v1 --data-dir "$W/data" \
+    --epochs 30 --lr 3e-4 --cfg-dropout 0.1 --batch-size 8 \
+    --save-last-every 10 --run-name qgate
+fi
+
+# Parity reference, then each candidate serving config.
+run_eval() {
+  name=$1; shift
+  timeout 2400 python tools/eval_run.py --run-dir "$RUN" --checkpoint last \
+    --preset v1 --data-dir "$W/data" --num-songs 2 --steps 50 \
+    --cfg-scale 3.0 --output-dir "$W/eval_$name" "$@" 2>&1 | tail -3
+}
+run_eval parity --int8 --scores-dtype float32
+run_eval stack  --int8 --scores-dtype bfloat16 --fused-mlp --attention flash
+echo "compare $W/eval_parity/report.json vs $W/eval_stack/report.json"
