@@ -52,6 +52,9 @@ def main():
                          "fused serving MLP)")
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2", "flash"])
+    ap.add_argument("--solver", default="euler", choices=["euler", "heun"],
+                    help="ODE solver (heun = 2nd order, 2 model calls per "
+                         "step: heun-25 costs the same 50 NFE as euler-50)")
     ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
                     metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -130,7 +133,8 @@ def main():
     norm = Normalizer(*load_stats(str(stats_path)))
     scfg = dataclasses.replace(preset.sampler, num_steps=args.steps,
                                cfg_scale=args.cfg_scale,
-                               cfg_interval=tuple(args.cfg_interval))
+                               cfg_interval=tuple(args.cfg_interval),
+                               solver=args.solver)
     pipe = InferencePipeline(model, state.params, norm, codec, scfg)
 
     out_dir = Path(args.output_dir or Path(args.run_dir) / "eval")
