@@ -97,6 +97,12 @@ class ModelConfig:
     # same per-row input scale).  Requires matmul_precision="int8_static";
     # quantize_params_static concatenates trained q/k/v weights on load.
     fused_qkv: bool = False
+    # INTERNAL: real (pre-padding) patch count when DiT pads the sequence
+    # to a sublane multiple on the flash serving path (sublane-aligned N
+    # makes every [B, N, H] <-> [B*N, H] merge a free bitcast instead of
+    # a physical tile regroup).  Set by DiT.__call__ via
+    # dataclasses.replace; 0 = no alignment padding.
+    attn_valid_len: int = 0
     # Backward rematerialisation policy per DiT block:
     #   "full" — recompute everything (min HBM),
     #   "dots" — save matmul outputs, recompute elementwise (faster bwd),

@@ -25,6 +25,7 @@ jat_audiosr_v3.py:311-471) for JAX/XLA on TPU:
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import jax
@@ -135,6 +136,7 @@ class GQAttention(nn.Module):
                         qkv, cos, sin, woq, wos.reshape(1, -1),
                         bo.reshape(1, -1).astype(jnp.float32),
                         Hq, Hkv, interpret=interp,
+                        n_valid=cfg.attn_valid_len,
                     )
                 # v3.1: hand the raw fused projection to the kernel —
                 # head split AND RoPE happen in-kernel (no XLA slices/
@@ -143,7 +145,7 @@ class GQAttention(nn.Module):
 
                 out = gqa_attention_flash_qkv(
                     qkv, cos, sin, Hq, Hkv,
-                    interpret=interp,
+                    interpret=interp, n_valid=cfg.attn_valid_len,
                 )
                 return dense(cfg.hidden_size, "out_proj")(out)
             q = qkv[..., : Hq * D].reshape(B, N, Hq, D)
@@ -413,6 +415,33 @@ class DiT(nn.Module):
 
         # Pad T to a multiple of the patch length (jat_audiosr_v2.py:412-416).
         pad = (-T_orig) % P
+        # Serving alignment: additionally pad the PATCH count to a sublane
+        # multiple (N=345 -> 352 at production geometry).  A sublane-
+        # aligned N makes every [B, N, H] <-> [B*N, H] merge around the
+        # Pallas kernels a free bitcast instead of a physical tile regroup
+        # (profiled ~1.5 ms/step of reshape/pad ops), and the flash
+        # kernel's internal pad disappears.  Padded positions are zero
+        # (the CFG null token in normalized space), masked as attention
+        # KEYS via attn_valid_len, and trimmed from the output — only the
+        # flash-QKV kernel implements the key mask, hence the conditions.
+        # MEASURED A WASH at v3 geometry (83.6 vs 84.2: the +2-4% extra
+        # FLOPs at N=352 eat the reshape savings) — opt-in via
+        # JATSR_ALIGN_N=1; kept for geometries with worse misalignment.
+        import os as _os
+
+        n_valid = 0
+        if (deterministic and cfg.attention_impl == "flash"
+                and cfg.pos_embed == "rope" and cfg.fused_qkv
+                and cfg.matmul_precision == "int8_static"
+                and _os.environ.get("JATSR_ALIGN_N", "0") == "1"
+                and _os.environ.get("JATSR_FLASH_QKV", "1") == "1"):
+            n0 = (T_orig + pad) // P
+            extra = ((-n0) % 8) * P
+            if extra:
+                pad += extra
+                n_valid = n0
+        if n_valid:
+            cfg = dataclasses.replace(cfg, attn_valid_len=n_valid)
         if pad:
             x_t = jnp.pad(x_t, ((0, 0), (0, pad), (0, 0)))
             x_cond = jnp.pad(x_cond, ((0, 0), (0, pad), (0, 0)))

@@ -247,16 +247,20 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
-                                             "interpret"))
+                                             "interpret", "n_valid"))
 def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
                             num_q_heads: int, num_kv_heads: int,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            n_valid: int = 0) -> jax.Array:
     """Flash GQA from the raw fused-QKV projection output.
 
     Args:
         qkv: [B, N, (Hq + 2*Hkv) * D] — q heads, then k heads, then v
             heads, PRE-RoPE (rotation happens in-kernel).
         cos/sin: [N, D] fp32 RoPE tables.
+        n_valid: real sequence length when the caller already padded N to
+            a sublane multiple (positions >= n_valid are masked as keys);
+            0 means N itself.
     Returns:
         [B, N, Hq*D] in qkv's dtype.
     """
@@ -270,7 +274,7 @@ def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
         cos, sin = jnp.pad(cos, pad_t), jnp.pad(sin, pad_t)
 
     kernel = functools.partial(
-        _attn_kernel_flash_qkv, scale=scale, n_valid=N,
+        _attn_kernel_flash_qkv, scale=scale, n_valid=n_valid or N,
         hq=num_q_heads, hkv=num_kv_heads, d=D,
     )
     QD = num_q_heads * D
@@ -354,12 +358,13 @@ def _attn_kernel_flash_out(qkv_ref, cos_ref, sin_ref, wo_ref, wos_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
-                                             "interpret"))
+                                             "interpret", "n_valid"))
 def gqa_attention_flash_out(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
                             wo_q: jax.Array, wo_scale: jax.Array,
                             wo_bias: jax.Array,
                             num_q_heads: int, num_kv_heads: int,
-                            interpret: bool = False) -> jax.Array:
+                            interpret: bool = False,
+                            n_valid: int = 0) -> jax.Array:
     """Flash GQA + fused int8 output projection.
 
     Args:
@@ -382,7 +387,7 @@ def gqa_attention_flash_out(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
 
     H = wo_q.shape[1]
     kernel = functools.partial(
-        _attn_kernel_flash_out, scale=scale, n_valid=N,
+        _attn_kernel_flash_out, scale=scale, n_valid=n_valid or N,
         hq=num_q_heads, hkv=num_kv_heads, d=D,
     )
     out = pl.pallas_call(

@@ -204,3 +204,39 @@ def test_adaln_tables_match_inline_path():
     o_tables = model.apply({"params": params}, x, t, c, adaln_mod=mod)
     np.testing.assert_allclose(np.asarray(o_tables), np.asarray(o_inline),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_sublane_aligned_serving_matches_unaligned(monkeypatch):
+    """The flash serving path pads N to a sublane multiple (345 -> 352
+    style) with padded positions masked as attention keys and trimmed from
+    the output — results must match the unpadded computation."""
+    import dataclasses
+
+    import numpy as np
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+
+    cfg = dataclasses.replace(
+        get_preset("tiny").model, dropout=0.0, drop_path_rate=0.0,
+        matmul_precision="int8_static", fused_mlp=False, fused_qkv=True,
+        attention_impl="flash",
+    )
+    model = DiT(cfg)
+    key = jax.random.PRNGKey(0)
+    B, T = 2, 92 * cfg.patch_len  # N=92: not a multiple of 8 -> pads to 96
+    x = jax.random.normal(key, (B, T, cfg.input_channels))
+    t = jnp.full((B,), 0.4)
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.cond_channels))
+    params = model.init({"params": key, "dropout": key}, x, t, c)["params"]
+    params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+    monkeypatch.setenv("JATSR_ALIGN_N", "1")  # opt-in alignment mode
+    o_aligned = model.apply({"params": params}, x, t, c)
+    assert o_aligned.shape == (B, T, cfg.input_channels)
+    # disable the alignment via the kernel-selection env: the split-path
+    # flash (v3) computes the same attention without pre-padding
+    monkeypatch.setenv("JATSR_FLASH_QKV", "0")
+    o_plain = model.apply({"params": params}, x, t, c)
+    np.testing.assert_allclose(np.asarray(o_aligned), np.asarray(o_plain),
+                               atol=2e-2, rtol=2e-2)
