@@ -197,6 +197,10 @@ def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     s = jnp.maximum(
         jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
     )
+    # (Rewriting these divides as per-row reciprocal multiplies measured
+    # NO end-to-end change — Mosaic handles the row-broadcast divide well
+    # — so the division form stays for exact bit-parity with the unfused
+    # quantize_rows path.)
     a_q = jnp.round(a / s).astype(jnp.int8)
     acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]
