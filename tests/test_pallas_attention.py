@@ -242,3 +242,35 @@ def test_flash_out_kernel_matches_unfused_out_proj():
     want = (acc.astype(jnp.float32) * o_s * wo_s + bo).reshape(B, N, H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3, rtol=2e-3)
+
+
+def test_flash_qkv_production_head_geometry():
+    """flash v3.1 at the real v3 head geometry (20 Q / 4 KV heads, D=64):
+    the in-kernel head-column slicing and KV-group indexing must hold at
+    the shipped shape, not just the small test geometry."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.models.dit import apply_rope, rope_cos_sin
+    from jatsr_tpu.ops.attention import gqa_attention_flash_qkv
+
+    B, N, Hq, Hkv, D = 1, 61, 20, 4, 64  # N odd: exercises the pad path
+    G = Hq // Hkv
+    qkv = jax.random.normal(jax.random.PRNGKey(13),
+                            (B, N, (Hq + 2 * Hkv) * D), jnp.float32)
+    cos, sin = rope_cos_sin(N, D)
+    got = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv, interpret=True)
+
+    q = apply_rope(qkv[..., : Hq * D].reshape(B, N, Hq, D), cos, sin)
+    k = apply_rope(
+        qkv[..., Hq * D: (Hq + Hkv) * D].reshape(B, N, Hkv, D), cos, sin)
+    v = qkv[..., (Hq + Hkv) * D:].reshape(B, N, Hkv, D)
+    qg = q.reshape(B, N, Hkv, G, D)
+    s = jnp.einsum("bnkgd,bmkd->bkgnm", qg, k) / math.sqrt(D)
+    w = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq * D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
