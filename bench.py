@@ -73,9 +73,38 @@ def main():
                          "quality-gated at LSD delta 0.00 dB / Mel L1 delta "
                          "<= 0.01 vs fp32 scores, PERF.md round 2; "
                          "--scores-dtype float32 restores the parity path)")
-    ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
-                    metavar=("LO", "HI"),
-                    help="apply CFG only for t in [LO, HI) of the schedule")
+    ap.add_argument("--cfg-interval", type=float, nargs=2,
+                    default=(0.05, 0.9), metavar=("LO", "HI"),
+                    help="apply CFG only for t in [LO, HI) of the schedule. "
+                         "Default (0.05, 0.9) is the RECOMMENDED serving "
+                         "mode: +4%% throughput AND better held-out metrics "
+                         "(LSD -0.3 dB — guidance at extreme noise levels "
+                         "hurts; PERF.md round 2).  --no-cfg-interval "
+                         "restores the reference's always-guided schedule.")
+    ap.add_argument("--no-cfg-interval", dest="cfg_interval",
+                    action="store_const", const=(0.0, 1.0),
+                    help="reference-parity guidance: CFG on every step")
+    ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf"],
+                    help="in-kernel GELU form for the fused MLP (tanh "
+                         "default, quality-gated; erf = exact form)")
+    ap.add_argument("--no-fast-epilogue", dest="fast_epilogue",
+                    action="store_false", default=True,
+                    help="bit-match-the-unfused-path epilogue (bf16 "
+                         "round-trips) inside the fused MLP kernel")
+    ap.add_argument("--fused-mlp-impl", default="half",
+                    choices=["half", "full"],
+                    help="fused-MLP variant (half = measured best)")
+    ap.add_argument("--flash-out", action="store_true",
+                    help="flash v3.2: fuse out_proj into the attention "
+                         "kernel (measured slower at v3 geometry)")
+    ap.add_argument("--no-flash-qkv", dest="flash_qkv",
+                    action="store_false", default=True,
+                    help="split-path flash v3 kernel instead of v3.1")
+    ap.add_argument("--align-n", action="store_true",
+                    help="pad N to a sublane multiple on the flash path")
+    ap.add_argument("--int8-impl", default="xla",
+                    choices=["xla", "pallas", "fused"],
+                    help="dynamic-int8 matmul backend")
     ap.add_argument("--deadline", type=int, default=2700,
                     help="hard wall-clock limit in seconds (the TPU tunnel "
                          "can wedge; better to die loudly than hang)")
@@ -106,6 +135,8 @@ def main():
 
     precision = args.precision or ("int8_static" if args.int8 else "bf16")
     preset = get_preset("tiny" if args.quick else "v3")
+    from jatsr_tpu.configs import apply_env_aliases
+
     mcfg = dataclasses.replace(
         preset.model, param_dtype="bfloat16", dropout=0.0, drop_path_rate=0.0,
         matmul_precision=precision,
@@ -114,7 +145,15 @@ def main():
         fused_qkv=args.fused_qkv and precision == "int8_static",
         attention_impl=args.attention,
         scores_dtype=args.scores_dtype,
+        gelu_impl=args.gelu,
+        fast_epilogue=args.fast_epilogue,
+        fused_mlp_impl=args.fused_mlp_impl,
+        flash_qkv=args.flash_qkv,
+        flash_fused_out=args.flash_out,
+        align_n=args.align_n,
+        int8_impl=args.int8_impl,
     )
+    mcfg = apply_env_aliases(mcfg)  # deprecated JATSR_* env knobs
     model = DiT(mcfg)
 
     T = int(args.seconds_per_chunk * 44100 / 512)  # 1378

@@ -5,6 +5,7 @@ from .config import (
     Preset,
     SamplerConfig,
     TrainConfig,
+    apply_env_aliases,
     get_preset,
     list_presets,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "DataConfig",
     "SamplerConfig",
     "Preset",
+    "apply_env_aliases",
     "get_preset",
     "list_presets",
 ]

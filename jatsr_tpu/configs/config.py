@@ -91,6 +91,36 @@ class ModelConfig:
     # dot directly (ops/int8_matmul.py:int8_dense_gelu_quant).  Requires
     # matmul_precision="int8_static"; inference-only.
     fused_mlp: bool = False
+    # Fused-MLP variant: "half" (first-half kernel + XLA s8xs8 second dot —
+    # measured best, PERF.md round 2) or "full" (whole MLP in one kernel,
+    # the hidden [M, 4H] never leaves VMEM; per-(row, slab) scales).
+    fused_mlp_impl: str = "half"
+    # In-kernel GELU form for the fused serving MLP: "tanh" (one
+    # transcendental, +14% end-to-end, quality-gated) or "erf" (A&S 7.1.26
+    # polynomial — matches nn.gelu(approximate=False) to bf16 tolerance).
+    gelu_impl: str = "tanh"
+    # Fused-MLP epilogue precision: True keeps the kernel epilogue fp32
+    # end-to-end (fewer VPU converts, strictly more precise, quality-gated);
+    # False inserts the bf16 round-trips exactly where the unfused
+    # QuantDense/nn.gelu path has them (bit-match-the-unfused-path mode).
+    fast_epilogue: bool = True
+    # With attention_impl="flash" + fused_qkv: consume the UNSPLIT fused
+    # QKV projection and apply RoPE in-kernel (flash v3.1 — the default;
+    # False falls back to the split-path v3 kernel).
+    flash_qkv: bool = True
+    # flash v3.2: fuse the int8 output projection into the attention
+    # kernel.  Measured SLOWER than v3.1 (82.1 vs 84.2, PERF.md round 2) —
+    # kept as an option for other geometries.
+    flash_fused_out: bool = False
+    # Pad the patch count N to a sublane multiple (345 -> 352) on the flash
+    # serving path so [B, N, H] <-> [B*N, H] merges are free bitcasts.
+    # Measured a WASH at v3 geometry (PERF.md round 2) — opt-in.
+    align_n: bool = False
+    # Dynamic-int8 matmul backend: "xla" (s8xs8 dot_general — default,
+    # reaches the v5e int8 MXU rate), "pallas" (ops/int8_matmul.int8_matmul)
+    # or "fused" (in-kernel activation quant; loses end-to-end at v3
+    # geometry — reshape breaks producer fusion, PERF.md round 2).
+    int8_impl: str = "xla"
     # Merge q/k/v projections into one [H, (Hq+2*Hkv)*D] int8 dot: one
     # activation-quant pass + one kernel launch instead of three.  Bit-
     # identical to separate projections (per-output-column weight scales;
@@ -392,6 +422,42 @@ _PRESETS = {
         dict(batch_size=2, warmup_steps=10),
     ),
 }
+
+
+# Deprecated env-var aliases for the serving knobs (round-2 interface).
+# The knobs are real ModelConfig fields now — jit caches key on the config,
+# and preset.json captures the full serving configuration.  This shim exists
+# only so old scripts keep working; it warns on use.
+_ENV_ALIASES = {
+    "JATSR_FUSED_MLP": ("fused_mlp_impl", str),
+    "JATSR_GELU": ("gelu_impl", str),
+    "JATSR_FAST_EPILOGUE": ("fast_epilogue", lambda v: v != "0"),
+    "JATSR_FLASH_QKV": ("flash_qkv", lambda v: v != "0"),
+    "JATSR_FLASH_OUT": ("flash_fused_out", lambda v: v == "1"),
+    "JATSR_ALIGN_N": ("align_n", lambda v: v == "1"),
+    "JATSR_INT8_IMPL": ("int8_impl", lambda v: v or "xla"),
+}
+
+
+def apply_env_aliases(model_cfg: ModelConfig) -> ModelConfig:
+    """DEPRECATED: fold round-2 ``JATSR_*`` env knobs into a ModelConfig.
+
+    Call once at program entry (bench.py / CLI) — never inside traced
+    code.  Prefer the explicit config fields / CLI flags.
+    """
+    import os
+    import warnings
+
+    kw = {}
+    for env, (field_name, conv) in _ENV_ALIASES.items():
+        if env in os.environ:
+            warnings.warn(
+                f"{env} is deprecated; use ModelConfig.{field_name} "
+                f"(or the matching CLI flag)", DeprecationWarning,
+                stacklevel=2,
+            )
+            kw[field_name] = conv(os.environ[env])
+    return dataclasses.replace(model_cfg, **kw) if kw else model_cfg
 
 
 def get_preset(name: str) -> Preset:

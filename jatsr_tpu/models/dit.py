@@ -111,13 +111,13 @@ class GQAttention(nn.Module):
             # passes and launches; bit-identical to separate projections
             # (per-output-column weight scales).
             qkv = dense((Hq + 2 * Hkv) * D, "qkv_proj")(x)
-            import os
+            from ..ops.attention import flash_supported
 
             if (cfg.attention_impl == "flash" and deterministic
-                    and cfg.pos_embed == "rope"
-                    and os.environ.get("JATSR_FLASH_QKV", "1") == "1"):
+                    and cfg.pos_embed == "rope" and cfg.flash_qkv
+                    and flash_supported(N, Hq, Hkv, D)):
                 interp = jax.default_backend() != "tpu"
-                if os.environ.get("JATSR_FLASH_OUT", "0") == "1":
+                if cfg.flash_fused_out:
                     # v3.2 (opt-in; measured 82.1 vs 84.2 for v3.1 —
                     # the in-kernel out-proj dot serialises with the head
                     # loop while XLA's separate dot overlaps neighbours):
@@ -175,14 +175,18 @@ class GQAttention(nn.Module):
         if cfg.attention_impl == "flash" and deterministic:
             # v3 kernel: natural flat layout (no head transpose), per-batch
             # programs, manually pipelined head loop (ops/attention.py).
-            from ..ops.attention import gqa_attention_flash
+            # Sequences whose whole-sequence tile would blow VMEM fall
+            # through to the XLA einsum below.
+            from ..ops.attention import flash_supported, gqa_attention_flash
 
-            out = gqa_attention_flash(
-                q.reshape(B, N, Hq * D), k.reshape(B, N, Hkv * D),
-                v.reshape(B, N, Hkv * D), Hq, Hkv,
-                interpret=jax.default_backend() != "tpu",
-            )
-            return dense(cfg.hidden_size, "out_proj")(out)
+            if flash_supported(N, Hq, Hkv, D):
+                out = gqa_attention_flash(
+                    q.reshape(B, N, Hq * D), k.reshape(B, N, Hkv * D),
+                    v.reshape(B, N, Hkv * D), Hq, Hkv,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return dense(cfg.hidden_size, "out_proj")(out)
+            # else: fall through to the XLA einsum path
 
         q = q.reshape(B, N, Hkv, G, D)
         # Logits in fp32 on the MXU.
@@ -227,9 +231,11 @@ def _dot_general_for(cfg: ModelConfig):
     """Pick the matmul kernel for the large projections: int8 dynamic W8A8
     in serving mode, the default MXU bf16 path otherwise."""
     if cfg.matmul_precision == "int8":
+        import functools
+
         from ..ops.quant import int8_dot_general
 
-        return int8_dot_general
+        return functools.partial(int8_dot_general, impl=cfg.int8_impl)
     return None
 
 
@@ -246,7 +252,8 @@ def _dense_factory(cfg: ModelConfig):
 
         def make(feat, name, use_bias=True):
             return QuantDense(feat, use_bias=use_bias, dtype=dtype,
-                              param_dtype=pdtype, name=name)
+                              param_dtype=pdtype, name=name,
+                              int8_impl=cfg.int8_impl)
     else:
         dg = _dot_general_for(cfg)
 
@@ -326,8 +333,6 @@ class DiTBlock(nn.Module):
             # One Pallas kernel: dot + dequant + bias + GELU + requantize;
             # its int8 output feeds the second dot without a bf16 HBM
             # round-trip.  Params keep QuantDense's exact layout.
-            import os
-
             from ..ops.int8_matmul import int8_dense_gelu_quant, int8_mlp
             from ..ops.quant import QuantParams
 
@@ -340,7 +345,7 @@ class DiTBlock(nn.Module):
             # MLP kernel, PERF.md round 2); "full" keeps the hidden [M, 4H]
             # activation entirely in VMEM but Mosaic's in-order compute
             # emission serialises its slab pipeline just enough to lose.
-            if os.environ.get("JATSR_FUSED_MLP", "half") == "full":
+            if cfg.fused_mlp_impl == "full":
                 # Whole MLP in one kernel: the [M, 4H] hidden activation
                 # never touches HBM (per-(row, slab) g scales — quality-
                 # gated, PERF.md round 2).
@@ -348,13 +353,14 @@ class DiTBlock(nn.Module):
                     h.astype(dtype).reshape(B_ * N_, H), w1q, w1s,
                     b1.reshape(1, -1).astype(jnp.float32),
                     w2q, w2s.reshape(1, -1), b2.reshape(1, -1),
-                    interpret=interp,
+                    interpret=interp, gelu_impl=cfg.gelu_impl,
                 ).astype(dtype).reshape(B_, N_, H)
-            else:  # JATSR_FUSED_MLP=half: first-half kernel + XLA s8xs8
+            else:  # "half": first-half kernel + XLA s8xs8 second dot
                 g_q, g_s = int8_dense_gelu_quant(
                     h.astype(dtype).reshape(B_ * N_, H), w1q, w1s,
                     b1.reshape(1, -1).astype(jnp.float32),
-                    interpret=interp,
+                    interpret=interp, gelu_impl=cfg.gelu_impl,
+                    fast_epilogue=cfg.fast_epilogue,
                 )
                 acc = jax.lax.dot_general(
                     g_q, w2q, (((1,), (0,)), ((), ())),
@@ -426,15 +432,13 @@ class DiT(nn.Module):
         # flash-QKV kernel implements the key mask, hence the conditions.
         # MEASURED A WASH at v3 geometry (83.6 vs 84.2: the +2-4% extra
         # FLOPs at N=352 eat the reshape savings) — opt-in via
-        # JATSR_ALIGN_N=1; kept for geometries with worse misalignment.
-        import os as _os
-
+        # ``ModelConfig.align_n``; kept for geometries with worse
+        # misalignment.
         n_valid = 0
         if (deterministic and cfg.attention_impl == "flash"
                 and cfg.pos_embed == "rope" and cfg.fused_qkv
                 and cfg.matmul_precision == "int8_static"
-                and _os.environ.get("JATSR_ALIGN_N", "0") == "1"
-                and _os.environ.get("JATSR_FLASH_QKV", "1") == "1"):
+                and cfg.align_n and cfg.flash_qkv):
             n0 = (T_orig + pad) // P
             extra = ((-n0) % 8) * P
             if extra:

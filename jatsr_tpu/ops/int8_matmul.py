@@ -165,9 +165,9 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _gelu(y):
-    """In-kernel GELU (tanh form by default; JATSR_GELU=erf restores the
-    exact erf form).
+def _gelu(y, impl: str = "tanh"):
+    """In-kernel GELU (``ModelConfig.gelu_impl``: "tanh" default, "erf"
+    restores the exact erf form).
 
     The tanh approximation (max abs err ~1e-3, far below the serving
     path's int8 re-quantisation step) is one transcendental with NO
@@ -175,15 +175,14 @@ def _gelu(y):
     throughput (66.1 -> 75.2 audio-sec/s) because the fused MLP kernel is
     VPU-epilogue-bound.  Quality gate PASSED: LSD delta 0.00 dB, Mel L1
     delta <= 0.02 on the held-out eval (PERF.md round 2)."""
-    import os
-
-    if os.environ.get("JATSR_GELU", "tanh") == "erf":
+    if impl == "erf":
         return 0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))
     c = math.sqrt(2.0 / math.pi)
     return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
 
 
-def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
+def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref,
+                             *, gelu_impl: str, fast_epilogue: bool):
     """dot + dequant + bias + GELU + requant, single-shot.
 
     (A slab-pipelined variant — dot slab i+1 issued before slab i's GELU,
@@ -191,8 +190,6 @@ def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     audio-sec/s: after the tanh + fp32-fast-epilogue changes the VPU
     epilogue is cheap enough that overlapping it with the MXU no longer
     pays; the simpler form is kept.)"""
-    import os
-
     a = a_ref[:].astype(jnp.float32)
     s = jnp.maximum(
         jnp.max(jnp.abs(a), axis=1, keepdims=True) * _INV127, 1e-12
@@ -204,17 +201,17 @@ def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     a_q = jnp.round(a / s).astype(jnp.int8)
     acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]
-    if os.environ.get("JATSR_FAST_EPILOGUE", "1") == "0":
-        # JATSR_FAST_EPILOGUE=0: bf16 round-trips at the points where the
+    if not fast_epilogue:
+        # fast_epilogue=False: bf16 round-trips at the points where the
         # unfused path has them (QuantDense emits bf16; nn.gelu consumes
         # it) — the bit-match-the-unfused-path mode.  The default keeps
         # the epilogue fp32 end-to-end: four fewer VPU convert passes
         # over [M, 4H], strictly higher precision, +1 audio-sec/s;
         # quality gate PASSED (PERF.md round 2).
         y = y.astype(jnp.bfloat16).astype(jnp.float32)
-        g = _gelu(y).astype(jnp.bfloat16).astype(jnp.float32)
+        g = _gelu(y, gelu_impl).astype(jnp.bfloat16).astype(jnp.float32)
     else:
-        g = _gelu(y)
+        g = _gelu(y, gelu_impl)
     gs = jnp.maximum(
         jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
     )
@@ -222,7 +219,10 @@ def _dense_gelu_quant_kernel(a_ref, w_ref, ws_ref, b_ref, gq_ref, gs_ref):
     gs_ref[:] = gs
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_m"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_m", "gelu_impl", "fast_epilogue"),
+)
 def int8_dense_gelu_quant(
     a: jax.Array,         # [M, K] bf16/f32 activations (unquantized)
     w_q: jax.Array,       # [K, N] int8
@@ -231,6 +231,8 @@ def int8_dense_gelu_quant(
     *,
     interpret: bool = False,
     block_m: int = 0,
+    gelu_impl: str = "tanh",
+    fast_epilogue: bool = True,
 ):
     """Fused ``quantize(gelu(dequant(a @ w_q) + b))`` -> (int8 [M, N],
     fp32 row scales [M, 1]).
@@ -258,7 +260,8 @@ def int8_dense_gelu_quant(
         a = jnp.pad(a, ((0, Mp - M), (0, 0)))
 
     g_q, g_s = pl.pallas_call(
-        _dense_gelu_quant_kernel,
+        functools.partial(_dense_gelu_quant_kernel, gelu_impl=gelu_impl,
+                          fast_epilogue=fast_epilogue),
         grid=(Mp // bm,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda i: (i, 0),
@@ -293,7 +296,7 @@ def int8_dense_gelu_quant(
 
 
 def _mlp_full_kernel(a_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref,
-                     b2_ref, out_ref, *, n_slabs: int):
+                     b2_ref, out_ref, *, n_slabs: int, gelu_impl: str):
     """Whole serving MLP in one program: quant(a) -> dot1 -> dequant+bias+
     GELU+requant -> dot2 -> dequant+bias.  The hidden activation g never
     touches HBM; the 4H dimension is processed in ``n_slabs`` static slabs
@@ -332,8 +335,7 @@ def _mlp_full_kernel(a_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref,
         sl = slice(i * slab, (i + 1) * slab)
         y = (acc1.astype(jnp.float32) * s * w1s_ref[:, sl]
              + b1_ref[:, sl]).astype(jnp.bfloat16).astype(jnp.float32)
-        g = (0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))).astype(
-            jnp.bfloat16).astype(jnp.float32)
+        g = _gelu(y, gelu_impl).astype(jnp.bfloat16).astype(jnp.float32)
         gs = jnp.maximum(
             jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
         )
@@ -351,7 +353,9 @@ def _pick_slabs(n1: int, target: int = 1280) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_m"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_m", "gelu_impl")
+)
 def int8_mlp(
     a: jax.Array,          # [M, H] bf16/f32 activations (unquantized)
     w1_q: jax.Array,       # [H, N1] int8
@@ -363,6 +367,7 @@ def int8_mlp(
     *,
     interpret: bool = False,
     block_m: int = 0,
+    gelu_impl: str = "tanh",
 ) -> jax.Array:
     """Full fused serving MLP: ``dequant(quant(gelu(a@w1+b1))@w2)+b2``.
 
@@ -382,7 +387,8 @@ def int8_mlp(
     n_slabs = _pick_slabs(N1)
 
     out = pl.pallas_call(
-        functools.partial(_mlp_full_kernel, n_slabs=n_slabs),
+        functools.partial(_mlp_full_kernel, n_slabs=n_slabs,
+                          gelu_impl=gelu_impl),
         grid=(Mp // bm,),
         in_specs=[
             pl.BlockSpec((bm, K), lambda i: (i, 0),

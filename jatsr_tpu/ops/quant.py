@@ -19,7 +19,7 @@ lever beyond bf16 (the reference has no quantized path at all).
   end-to-end sampler throughput (50.9 -> 34.5 audio-sec/s; the reshape
   breaks XLA's producer fusion of the quantisation).  The Pallas kernel
   in ``ops.int8_matmul`` (tuned tiles, ~310 TF/s) stays selectable via
-  JATSR_INT8_IMPL=pallas.
+  ``ModelConfig.int8_impl="pallas"``.
 - accumulation in int32, rescale in fp32, result in the activation dtype.
 
 int8 x int8 -> int32 is exact, so the XLA and Pallas paths agree to the
@@ -31,8 +31,6 @@ and the quality-parity path stay bf16/fp32).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 import jax
@@ -41,18 +39,17 @@ import jax.numpy as jnp
 from .int8_matmul import _INV127, int8_matmul, int8_matmul_fused
 
 
-def w8a8_dot(lhs, w_q, w_scale):
+def w8a8_dot(lhs, w_q, w_scale, impl: str = "xla"):
     """``lhs [..., K] @ (w_q * w_scale) -> [..., N]`` with dynamic per-row
     activation quantisation.  ``w_q`` is int8 ``[K, N]``, ``w_scale`` fp32
     ``[1, N]`` (pre-quantized weights — the static path — or quantized by
-    the caller).  Kernel choice via JATSR_INT8_IMPL (xla default / pallas /
-    fused), mirroring :func:`int8_dot_general`.
+    the caller).  ``impl`` picks the kernel (``ModelConfig.int8_impl``:
+    "xla" default / "pallas" / "fused"), mirroring :func:`int8_dot_general`.
     """
     out_dtype = lhs.dtype
     K, N = w_q.shape
     lead = lhs.shape[:-1]
     M = int(np.prod(lead)) if lead else 1
-    impl = os.environ.get("JATSR_INT8_IMPL")
     aligned = K % 128 == 0 and N % 128 == 0 and M >= 32
 
     if impl == "fused" and jax.default_backend() == "tpu" and aligned:
@@ -91,7 +88,7 @@ def w8a8_dot(lhs, w_q, w_scale):
 
 
 def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
-                     preferred_element_type=None):
+                     preferred_element_type=None, impl: str = "xla"):
     ((lc, rc), (lb, rb)) = dimension_numbers
     # nn.Dense contraction: lhs [..., K] x rhs [K, N], no batch dims.
     if (len(lc) != 1 or len(rc) != 1 or lb or rb
@@ -103,7 +100,7 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     rhs_f = rhs.astype(jnp.float32)
     w_scale = jnp.max(jnp.abs(rhs_f), axis=0, keepdims=True) * _INV127
     w_q = jnp.round(rhs_f / jnp.maximum(w_scale, 1e-12)).astype(jnp.int8)
-    return w8a8_dot(lhs, w_q, w_scale)
+    return w8a8_dot(lhs, w_q, w_scale, impl=impl)
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +133,7 @@ class QuantDense(_nn.Module):
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    int8_impl: str = "xla"
 
     @_nn.compact
     def __call__(self, x):
@@ -153,7 +151,8 @@ class QuantDense(_nn.Module):
                                         jnp.float32),
             (1, self.features),
         )
-        out = w8a8_dot(x.astype(self.dtype), w_q, w_scale)
+        out = w8a8_dot(x.astype(self.dtype), w_q, w_scale,
+                       impl=self.int8_impl)
         if self.use_bias:
             b = self.param("bias", _nn.initializers.zeros,
                            (self.features,), self.param_dtype)

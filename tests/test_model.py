@@ -206,7 +206,45 @@ def test_adaln_tables_match_inline_path():
                                atol=2e-2, rtol=2e-2)
 
 
-def test_sublane_aligned_serving_matches_unaligned(monkeypatch):
+def test_flash_vmem_guard_falls_back():
+    """Sequences whose whole-sequence flash tile would blow VMEM must fall
+    back to the XLA einsum instead of failing Mosaic compilation
+    (ADVICE r2 #3): the two configs produce identical outputs because the
+    kernel never runs at this N."""
+    import dataclasses
+
+    import numpy as np
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.ops.attention import flash_supported
+
+    assert flash_supported(345, 20, 4, 64)      # production geometry
+    assert not flash_supported(1378, 20, 4, 64)  # whole-chunk N: too big
+
+    base = dataclasses.replace(
+        get_preset("tiny").model, dropout=0.0, drop_path_rate=0.0,
+        matmul_precision="int8_static", fused_qkv=True, fused_mlp=False,
+    )
+    # tiny geometry (Hq=4, Hkv=2, D=32): guard trips past N ~ 1000
+    N = 1024
+    assert not flash_supported(N, base.num_q_heads, base.num_kv_heads,
+                               base.head_dim)
+    key = jax.random.PRNGKey(0)
+    B, T = 1, N * base.patch_len
+    x = jax.random.normal(key, (B, T, base.input_channels))
+    t = jnp.full((B,), 0.5)
+    c = jax.random.normal(jax.random.PRNGKey(1), (B, T, base.cond_channels))
+    flash = DiT(dataclasses.replace(base, attention_impl="flash"))
+    params = flash.init({"params": key, "dropout": key}, x, t, c)["params"]
+    o_flash = flash.apply({"params": params}, x, t, c)
+    assert np.isfinite(np.asarray(o_flash)).all()
+    xla = DiT(dataclasses.replace(base, attention_impl="xla"))
+    o_xla = xla.apply({"params": params}, x, t, c)
+    np.testing.assert_array_equal(np.asarray(o_flash), np.asarray(o_xla))
+
+
+def test_sublane_aligned_serving_matches_unaligned():
     """The flash serving path pads N to a sublane multiple (345 -> 352
     style) with padded positions masked as attention keys and trimmed from
     the output — results must match the unpadded computation."""
@@ -220,7 +258,7 @@ def test_sublane_aligned_serving_matches_unaligned(monkeypatch):
     cfg = dataclasses.replace(
         get_preset("tiny").model, dropout=0.0, drop_path_rate=0.0,
         matmul_precision="int8_static", fused_mlp=False, fused_qkv=True,
-        attention_impl="flash",
+        attention_impl="flash", align_n=True,
     )
     model = DiT(cfg)
     key = jax.random.PRNGKey(0)
@@ -231,12 +269,11 @@ def test_sublane_aligned_serving_matches_unaligned(monkeypatch):
     params = model.init({"params": key, "dropout": key}, x, t, c)["params"]
     params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
 
-    monkeypatch.setenv("JATSR_ALIGN_N", "1")  # opt-in alignment mode
     o_aligned = model.apply({"params": params}, x, t, c)
     assert o_aligned.shape == (B, T, cfg.input_channels)
-    # disable the alignment via the kernel-selection env: the split-path
-    # flash (v3) computes the same attention without pre-padding
-    monkeypatch.setenv("JATSR_FLASH_QKV", "0")
-    o_plain = model.apply({"params": params}, x, t, c)
+    # the split-path flash (v3, flash_qkv=False) computes the same
+    # attention without the alignment pre-padding
+    plain = DiT(dataclasses.replace(cfg, align_n=False, flash_qkv=False))
+    o_plain = plain.apply({"params": params}, x, t, c)
     np.testing.assert_allclose(np.asarray(o_aligned), np.asarray(o_plain),
                                atol=2e-2, rtol=2e-2)

@@ -27,12 +27,11 @@ INFER_CONFIGS = [
                               "--attention", "xla"]),
     ("stack B=16", ["--batch", "16"]),
     ("stack, XLA attention", ["--batch", "8", "--attention", "xla"]),
-    ("stack, erf GELU", ["--batch", "8"], {"JATSR_GELU": "erf"}),
-    ("stack, exact epilogue", ["--batch", "8"],
-     {"JATSR_FAST_EPILOGUE": "0"}),
-    ("stack, whole-MLP kernel", ["--batch", "8"],
-     {"JATSR_FUSED_MLP": "full"}),
-    ("stack, fused out-proj", ["--batch", "8"], {"JATSR_FLASH_OUT": "1"}),
+    ("stack, erf GELU", ["--batch", "8", "--gelu", "erf"]),
+    ("stack, exact epilogue", ["--batch", "8", "--no-fast-epilogue"]),
+    ("stack, whole-MLP kernel", ["--batch", "8", "--fused-mlp-impl",
+                                 "full"]),
+    ("stack, fused out-proj", ["--batch", "8", "--flash-out"]),
     ("stack, 25-step", ["--batch", "8", "--steps", "25"]),
     ("stack, cfg-interval .05-.9",
      ["--batch", "8", "--cfg-interval", "0.05", "0.9"]),
