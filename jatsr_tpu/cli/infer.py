@@ -41,16 +41,29 @@ def main(argv=None):
                     help="W8A8 serving matmuls (v5e MXU int8 rate)")
     ap.add_argument("--quantize-head", action="store_true",
                     help="extend int8 to the output head")
-    ap.add_argument("--scores-dtype", default="bfloat16",
+    ap.add_argument("--scores-dtype", default="float32",
                     choices=["float32", "bfloat16"],
-                    help="attention score-matrix storage dtype (default "
-                         "bfloat16 — quality-gated, PERF.md round 2; "
-                         "float32 restores the exact parity path)")
+                    help="attention score-matrix storage dtype.  The "
+                         "user-facing CLI defaults to the exact float32 "
+                         "path; bfloat16 is the quality-gated serving "
+                         "mode (PERF.md round 2) that bench/eval tooling "
+                         "opts into explicitly")
     ap.add_argument("--fused-mlp", action="store_true",
                     help="Pallas fused dot+GELU+requant serving MLP "
                          "(requires --int8)")
+    ap.add_argument("--fused-mlp-impl", default="half",
+                    choices=["half", "full"])
+    ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf"],
+                    help="in-kernel GELU form for --fused-mlp")
+    ap.add_argument("--no-fast-epilogue", dest="fast_epilogue",
+                    action="store_false", default=True)
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2", "flash"])
+    ap.add_argument("--mesh", type=int, nargs=2, default=None,
+                    metavar=("DATA", "MODEL"),
+                    help="shard serving over a (data, model) device mesh: "
+                         "chunk batches data-parallel, params per the TP "
+                         "rules (mirrors cli/train.py --mesh)")
     ap.add_argument("--bf16-decode", action="store_true",
                     help="run the DAC decoder conv stack in bf16 (half the "
                          "weight HBM, 2x MXU; parity test "
@@ -124,10 +137,16 @@ def main(argv=None):
 
     if args.fused_mlp and not args.int8:
         raise SystemExit("--fused-mlp requires --int8")
+    from ..configs import apply_env_aliases
+
     serving = dataclasses.replace(
         preset.model, scores_dtype=args.scores_dtype,
         attention_impl=args.attention,
+        gelu_impl=args.gelu, fast_epilogue=args.fast_epilogue,
+        fused_mlp_impl=args.fused_mlp_impl,
     )
+    serving = apply_env_aliases(serving)  # deprecated JATSR_* knobs
+    print(f"[infer] attention scores dtype: {serving.scores_dtype}")
     if args.int8:
         from ..ops.quant import quantize_params_static
 
@@ -170,7 +189,14 @@ def main(argv=None):
         preset.sampler, num_steps=args.steps, cfg_scale=args.cfg_scale,
         cfg_interval=tuple(args.cfg_interval),
     )
-    pipe = InferencePipeline(model, params, norm, codec, scfg)
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(*args.mesh)
+        print(f"[infer] serving mesh: data={args.mesh[0]} x "
+              f"model={args.mesh[1]}")
+    pipe = InferencePipeline(model, params, norm, codec, scfg, mesh=mesh)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)

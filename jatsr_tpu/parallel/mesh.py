@@ -37,35 +37,65 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
 
 
-# Sharding rules for DiT parameters (paths are flax param tree paths with the
-# scanned ``blocks`` collection carrying a leading depth axis).  Order
-# matters: first match wins.
-_RULES = [
-    # Attention: shard the head (output) dim of Q/K/V, the input dim of the
-    # output projection.
-    (r"blocks/attn/(q_proj|k_proj|v_proj)/kernel", P(None, None, MODEL_AXIS)),
-    (r"blocks/attn/out_proj/kernel", P(None, MODEL_AXIS, None)),
-    # MLP: megatron-style column->row split.
-    (r"blocks/mlp_in/kernel", P(None, None, MODEL_AXIS)),
-    (r"blocks/mlp_in/bias", P(None, MODEL_AXIS)),
-    (r"blocks/mlp_out/kernel", P(None, MODEL_AXIS, None)),
-    # AdaLN modulation is 1/3 of all params (28 x H x 6H) — shard its width.
-    (r"blocks/adaln/kernel", P(None, None, MODEL_AXIS)),
-    (r"blocks/adaln/bias", P(None, MODEL_AXIS)),
-    # Everything else (patch embed, t-MLP, final) is replicated.
-]
+# Sharding rules for DiT parameters (paths are flax param tree paths with
+# the scanned ``blocks`` collection carrying a leading depth axis).  Rules
+# are organised by the projection's PARALLELISM KIND, then by leaf name, so
+# every parameter layout — bf16 training (``kernel``/``bias``), dynamic
+# int8, and int8_static serving (``kernel_q`` int8 + ``kernel_scale``
+# per-output-column fp32, incl. the fused ``qkv_proj``) — gets a coherent
+# spec.  The invariant: a ``kernel_scale`` ALWAYS follows its kernel's
+# OUTPUT-dim sharding (it is per-output-column, shape [..., 1, N]) and its
+# size-1 input dim is never sharded.
+#
+# Column-parallel (output dim over MODEL_AXIS): q/k/v + fused qkv, mlp_in,
+# adaln.  Row-parallel (input dim over MODEL_AXIS; output replicated, so
+# scales and biases replicate): out_proj, mlp_out.
+_COL_PAT = re.compile(
+    r"blocks/(attn/(qkv_proj|q_proj|k_proj|v_proj)|mlp_in|adaln)(/|$)"
+)
+_ROW_PAT = re.compile(r"blocks/(attn/out_proj|mlp_out)(/|$)")
 
 
 def _spec_for(path: str, ndim: int) -> P:
-    for pat, spec in _RULES:
-        if re.search(pat, path):
-            if len(spec) == ndim:
-                return spec
-            # Rule written for the scanned (stacked) layout; drop the leading
-            # depth axis for unstacked params.
-            if len(spec) == ndim + 1 and spec[0] is None:
-                return P(*spec[1:])
-    return P()  # replicated
+    leaf = path.rsplit("/", 1)[-1]
+    if _COL_PAT.search(path):
+        if leaf in ("kernel", "kernel_q", "kernel_scale"):
+            # [depth, K(or 1), N] — shard the output column dim.
+            spec = P(None, None, MODEL_AXIS)
+        elif leaf == "bias":
+            spec = P(None, MODEL_AXIS)
+        else:
+            return P()
+    elif _ROW_PAT.search(path):
+        if leaf in ("kernel", "kernel_q"):
+            # [depth, K, N] — megatron row split over the input dim; the
+            # partial outputs are psum'd by GSPMD.
+            spec = P(None, MODEL_AXIS, None)
+        else:
+            # kernel_scale [depth, 1, N] / bias [depth, N]: per-OUTPUT
+            # column, and the output dim is unsharded here -> replicate.
+            # (Sharding the size-1 scale dim crashes placement — the
+            # round-2 int8_static TP bug.)
+            return P()
+    else:
+        return P()  # patch embed, t-MLP, final layer: replicated
+    if len(spec) == ndim:
+        return spec
+    # Rule written for the scanned (stacked) layout; drop the leading depth
+    # axis for unstacked params.
+    if len(spec) == ndim + 1 and spec[0] is None:
+        return P(*spec[1:])
+    return P()
+
+
+def _divisible(spec: P, shape, mesh: Mesh) -> bool:
+    """Every sharded dim must divide by its mesh-axis size (a model width
+    that doesn't divide falls back to replication rather than crashing
+    placement)."""
+    for dim, ax in zip(shape, spec):
+        if ax is not None and (dim == 0 or dim % mesh.shape[ax] != 0):
+            return False
+    return True
 
 
 def param_shardings(mesh: Mesh, params):
@@ -80,9 +110,10 @@ def param_shardings(mesh: Mesh, params):
 
     specs = {}
     for kp, leaf in flat:
-        specs[jax.tree_util.keystr(kp)] = NamedSharding(
-            mesh, _spec_for(path_str(kp), np.ndim(leaf))
-        )
+        spec = _spec_for(path_str(kp), np.ndim(leaf))
+        if not _divisible(spec, np.shape(leaf), mesh):
+            spec = P()
+        specs[jax.tree_util.keystr(kp)] = NamedSharding(mesh, spec)
 
     def lookup(kp, leaf):
         return specs[jax.tree_util.keystr(kp)]

