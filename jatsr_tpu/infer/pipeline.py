@@ -259,7 +259,11 @@ class InferencePipeline:
         decoder's receptive field, so the trimmed seams are exact) — a
         whole-song decode materialises multi-GB conv intermediates and
         OOMs a 16 GB chip around the ~2 min mark.  Segments share one
-        padded shape, so the decoder compiles once."""
+        padded shape, so the decoder compiles once.  The FINAL segment is
+        anchored so its window ENDS exactly at the song end: its right
+        boundary is then the decoder's true conv-padding boundary, exactly
+        as in an unsegmented decode (trailing zero-LATENT padding is not
+        equivalent to per-layer conv boundary padding — ADVICE r2 #2)."""
         assert self.codec is not None
         z = jnp.asarray(latent)
         T = z.shape[0]
@@ -273,6 +277,10 @@ class InferencePipeline:
             e = min(T, s + segment_frames)
             lo = max(0, s - ctx_frames)
             hi = min(T, e + ctx_frames)
+            if hi == T:
+                # window reaches the song end: slide it back so the full
+                # [lo, T) span is real latents (T > L here, so pad == 0)
+                lo = max(0, T - L)
             seg = z[lo:hi]
             pad = L - (hi - lo)
             if pad:

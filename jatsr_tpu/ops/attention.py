@@ -34,6 +34,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Per-program VMEM budget for the single-tile flash kernels.  v5e has
+# ~16 MB of VMEM; leave headroom for Mosaic's own buffers.  Past this the
+# kernels fail Mosaic compilation with an opaque allocation error, so the
+# model falls back to the XLA einsum path instead (ADVICE r2 #3).
+_FLASH_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def flash_supported(n: int, num_q_heads: int, num_kv_heads: int,
+                    d: int) -> bool:
+    """Whether the flash kernels' whole-sequence tiles fit VMEM at this
+    geometry.  Counts the qkv block, the output block, k/v work copies and
+    three [Np, Np] fp32 score-sized temporaries (score + pipelined next +
+    exp).  At the production N=345 this is ~4 MB; N around 1378 (a whole
+    16 s chunk unpatchified) blows the budget."""
+    np_ = _round_up(n, 8)
+    td = (num_q_heads + 2 * num_kv_heads) * d
+    est = (np_ * td * 2                 # qkv (or q+k+v) bf16
+           + np_ * num_q_heads * d * 2  # output
+           + np_ * 2 * num_kv_heads * d * 2  # rope'd k + v copies
+           + 3 * np_ * np_ * 4)         # fp32 score temporaries
+    return est <= _FLASH_VMEM_BUDGET
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     q = q_ref[0, 0, :, :]  # [Np, D]
     k = k_ref[0, 0, :, :]

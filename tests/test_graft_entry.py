@@ -1,0 +1,39 @@
+"""The driver-graded entry file must be robust: ``dryrun_multichip`` has to
+self-configure the virtual mesh, survive being called twice in one process,
+and recover when the backend is already initialized with too few devices
+(the post-``entry()`` teardown path) — VERDICT r2 weak #3/#6."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+_SCRIPT = """
+import jax
+
+# Bring the backend up FIRST with a single CPU device — the worst case
+# dryrun_multichip must recover from (mirrors entry() having run on the
+# one TPU chip before the dryrun).
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 1, jax.devices()
+
+import __graft_entry__ as g
+
+g.dryrun_multichip(8)   # teardown + rebuild path
+g.dryrun_multichip(8)   # already-enough-devices path
+print("TWICE_OK")
+"""
+
+
+def test_dryrun_recovers_and_reruns():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_PROCESSES")}
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT], cwd=ROOT, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert proc.stdout.count("[dryrun] ok") == 2, proc.stdout
+    assert "TWICE_OK" in proc.stdout

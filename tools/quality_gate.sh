@@ -35,3 +35,10 @@ run_eval() {
 run_eval parity --int8 --scores-dtype float32
 run_eval stack  --int8 --scores-dtype bfloat16 --fused-mlp --attention flash
 echo "compare $W/eval_parity/report.json vs $W/eval_stack/report.json"
+
+# Seed-matched numeric gate (VERDICT r2 weak #4): every knob also carries a
+# direct latent/decoded delta vs the parity path on the SAME weights — a
+# measurement that cannot hide inside held-out-metric probe noise, and that
+# runs at PRODUCTION scale (766 M) because it needs no training.
+timeout 5400 python tools/fidelity_gate.py --preset v3 --batch 2 \
+  --steps 50 --cfg-scale 3.0 --decode | tee "$W/fidelity_766m.jsonl"
