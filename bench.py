@@ -102,6 +102,10 @@ def main():
                     help="split-path flash v3 kernel instead of v3.1")
     ap.add_argument("--align-n", action="store_true",
                     help="pad N to a sublane multiple on the flash path")
+    ap.add_argument("--fused-prologue", action="store_true",
+                    help="fold norm+AdaLN-modulate+row-quant into the qkv/"
+                         "mlp_in dot kernels (implies --align-n: the "
+                         "prologue grid needs an 8-aligned patch count)")
     ap.add_argument("--int8-impl", default="xla",
                     choices=["xla", "pallas", "fused"],
                     help="dynamic-int8 matmul backend")
@@ -150,7 +154,8 @@ def main():
         fused_mlp_impl=args.fused_mlp_impl,
         flash_qkv=args.flash_qkv,
         flash_fused_out=args.flash_out,
-        align_n=args.align_n,
+        align_n=args.align_n or args.fused_prologue,
+        fused_prologue=args.fused_prologue,
         int8_impl=args.int8_impl,
     )
     mcfg = apply_env_aliases(mcfg)  # deprecated JATSR_* env knobs

@@ -121,6 +121,14 @@ class ModelConfig:
     # or "fused" (in-kernel activation quant; loses end-to-end at v3
     # geometry — reshape breaks producer fusion, PERF.md round 2).
     int8_impl: str = "xla"
+    # Fuse each branch's whole input path — affine-free norm + AdaLN
+    # modulate + dynamic row quant — into the qkv / mlp_in dot kernels
+    # (ops/int8_matmul.py:int8_norm_mod_dot / _dense_gelu_quant): the
+    # [B, N, H] activation crosses HBM once per branch instead of ~3
+    # times.  Requires the full serving stack (int8_static + fused_qkv +
+    # fused_mlp "half" + flash v3.1) and an 8-aligned patch count
+    # (pair with align_n at production geometry).  Serving only.
+    fused_prologue: bool = False
     # Merge q/k/v projections into one [H, (Hq+2*Hkv)*D] int8 dot: one
     # activation-quant pass + one kernel launch instead of three.  Bit-
     # identical to separate projections (per-output-column weight scales;

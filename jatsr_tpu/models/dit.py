@@ -96,7 +96,11 @@ class GQAttention(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, *, deterministic: bool):
+    def __call__(self, x, cos, sin, *, deterministic: bool, prenorm=None):
+        """``prenorm=(scale, shift)`` (fp32 [B, H] AdaLN modulation rows)
+        switches on the fused-prologue serving path: ``x`` is then the RAW
+        residual stream and norm+modulate+quant happen INSIDE the fused
+        qkv dot kernel (ops/int8_matmul.int8_norm_mod_dot)."""
         cfg = self.cfg
         B, N, _ = x.shape
         Hq, Hkv, D = cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
@@ -107,10 +111,27 @@ class GQAttention(nn.Module):
                                       use_bias=cfg.attention_bias)
 
         if cfg.fused_qkv and cfg.matmul_precision == "int8_static":
-            # One [H, (Hq+2Hkv)*D] dot: a third of the activation-quant
-            # passes and launches; bit-identical to separate projections
-            # (per-output-column weight scales).
-            qkv = dense((Hq + 2 * Hkv) * D, "qkv_proj")(x)
+            if prenorm is not None:
+                from ..ops.int8_matmul import int8_norm_mod_dot
+                from ..ops.quant import QuantParams
+
+                wq, ws, bq = QuantParams(
+                    cfg.hidden_size, (Hq + 2 * Hkv) * D,
+                    use_bias=cfg.attention_bias, name="qkv_proj")()
+                if bq is None:
+                    bq = jnp.zeros(((Hq + 2 * Hkv) * D,), jnp.float32)
+                qkv = int8_norm_mod_dot(
+                    x.astype(dtype), prenorm[0], prenorm[1],
+                    wq, ws.reshape(1, -1),
+                    bq.reshape(1, -1).astype(jnp.float32),
+                    norm=cfg.norm, out_dtype=dtype,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                # One [H, (Hq+2Hkv)*D] dot: a third of the activation-
+                # quant passes and launches; bit-identical to separate
+                # projections (per-output-column weight scales).
+                qkv = dense((Hq + 2 * Hkv) * D, "qkv_proj")(x)
             from ..ops.attention import flash_supported
 
             if (cfg.attention_impl == "flash" and deterministic
@@ -317,18 +338,68 @@ class DiTBlock(nn.Module):
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
         expand = lambda m: m[:, None, :]
+        mlp_dim = int(H * cfg.mlp_ratio)
 
-        h = _norm(cfg, "norm1")(x)
-        h = h * (1 + expand(scale_msa)) + expand(shift_msa)
-        h = GQAttention(cfg, name="attn")(h, cos, sin, deterministic=deterministic)
+        # Fused-prologue serving path: the branch input chain (affine-free
+        # norm -> AdaLN modulate -> row quant) folds INTO the qkv / mlp_in
+        # dot kernels, so the [B, N, H] residual stream crosses HBM once
+        # per branch (ops/int8_matmul.py round-3 kernels).  Requires the
+        # full serving stack and an 8-aligned patch count (align_n).
+        fused_pro = (
+            deterministic and cfg.fused_prologue
+            and cfg.matmul_precision == "int8_static"
+            and cfg.fused_qkv and cfg.fused_mlp
+            and cfg.fused_mlp_impl == "half"
+            and cfg.attention_impl == "flash" and cfg.flash_qkv
+            and not cfg.flash_fused_out and cfg.pos_embed == "rope"
+        )
+        if fused_pro:
+            from ..ops.int8_matmul import norm_mod_dot_supported
+
+            N_ = x.shape[1]
+            qkv_out = (cfg.num_q_heads + 2 * cfg.num_kv_heads) * cfg.head_dim
+            fused_pro = (norm_mod_dot_supported(N_, H, qkv_out)
+                         and norm_mod_dot_supported(N_, H, mlp_dim))
+
+        if fused_pro:
+            h = GQAttention(cfg, name="attn")(
+                x, cos, sin, deterministic=deterministic,
+                prenorm=(scale_msa.astype(jnp.float32),
+                         shift_msa.astype(jnp.float32)))
+        else:
+            h = _norm(cfg, "norm1")(x)
+            h = h * (1 + expand(scale_msa)) + expand(shift_msa)
+            h = GQAttention(cfg, name="attn")(h, cos, sin,
+                                              deterministic=deterministic)
         h = expand(gate_msa) * h
         if not deterministic:
             h = _drop_path(h, dp_rate, deterministic, self.make_rng("dropout"))
         x = x + h
 
+        if fused_pro:
+            from ..ops.int8_matmul import int8_norm_mod_dense_gelu_quant
+            from ..ops.quant import QuantParams
+
+            w1q, w1s, b1 = QuantParams(H, mlp_dim, name="mlp_in")()
+            w2q, w2s, b2 = QuantParams(mlp_dim, H, name="mlp_out")()
+            g_q, g_s = int8_norm_mod_dense_gelu_quant(
+                x.astype(dtype), scale_mlp.astype(jnp.float32),
+                shift_mlp.astype(jnp.float32),
+                w1q, w1s, b1.reshape(1, -1).astype(jnp.float32),
+                norm=cfg.norm, gelu_impl=cfg.gelu_impl,
+                interpret=jax.default_backend() != "tpu",
+            )
+            acc = jax.lax.dot_general(
+                g_q, w2q, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            h = (acc * g_s * w2s + b2).astype(dtype)
+            h = expand(gate_mlp) * h
+            x = x + h
+            return x, None
+
         h = _norm(cfg, "norm2")(x)
         h = h * (1 + expand(scale_mlp)) + expand(shift_mlp)
-        mlp_dim = int(H * cfg.mlp_ratio)
         if cfg.fused_mlp and cfg.matmul_precision == "int8_static":
             # One Pallas kernel: dot + dequant + bias + GELU + requantize;
             # its int8 output feeds the second dot without a bf16 HBM

@@ -295,6 +295,219 @@ def int8_dense_gelu_quant(
     return g_q, g_s
 
 
+# ---------------------------------------------------------------------------
+# Fused norm + AdaLN-modulate + quantize prologues (round 3)
+# ---------------------------------------------------------------------------
+#
+# In the serving DiT block, every quantized projection's input is
+# ``norm(x) * (1 + scale) + shift`` — an affine-free RMS/LayerNorm (NO
+# parameters) followed by the per-sample AdaLN modulation.  XLA runs this
+# as reduce + map fusions that read the [B, N, H] activation from HBM
+# twice and write the quantized int8 copy back before the dot reads it
+# again.  Folding the whole prologue into the dot kernel reads x ONCE:
+# norm statistics, modulation, row absmax and int8 rounding are VPU work
+# that overlaps the MXU stream.  Per layer this removes ~3 full activation
+# HBM passes for each of the two branches.
+#
+# Grid is (batch, row-blocks-within-batch): the modulation is per-SAMPLE,
+# so a row block must not span batch elements — which requires the padded
+# patch count Np to split into 8-aligned blocks (``ModelConfig.align_n``
+# provides Np=352 at production geometry; callers fall back to the
+# unfused path otherwise).
+
+
+def _norm_mod(x, scale, shift, *, norm: str, eps: float = 1e-6):
+    """Affine-free RMS/LayerNorm + AdaLN modulate: x f32 [bn, H],
+    scale/shift f32-but-bf16-valued [1, H] (one sample's modulation row).
+
+    Statistics in f32; bf16 rounds inserted exactly where the XLA path has
+    them (norm output and after each modulation op), so the downstream row
+    absmax / int8 rounding is BIT-IDENTICAL to the unfused serving path —
+    a fully-fp32 prologue shifts quantisation boundaries on absmax-tie
+    rows (measured ~10% whole-row output deltas on a tiny model)."""
+    def b16(v):
+        return v.astype(jnp.bfloat16).astype(jnp.float32)
+
+    if norm == "rms":
+        ms = jnp.mean(x * x, axis=1, keepdims=True)
+        xn = x * jax.lax.rsqrt(ms + eps)
+    else:  # "layer"
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean(x * x, axis=1, keepdims=True) - mu * mu
+        xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    y = b16(b16(xn) * b16(1.0 + scale))
+    return b16(y + shift)
+
+
+def _norm_mod_dot_kernel(x_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
+                         out_ref, *, norm: str):
+    x = x_ref[0].astype(jnp.float32)  # [bn, H]
+    y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    a_q = jnp.round(y / s).astype(jnp.int8)
+    acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
+    out_ref[0] = (acc.astype(jnp.float32) * s * ws_ref[:]
+                  + b_ref[:]).astype(out_ref.dtype)
+
+
+def _pick_bn_rows(n_rows: int, target: int) -> int:
+    """Largest 8-aligned divisor of ``n_rows`` <= target (0 if none)."""
+    best = 0
+    for bn in range(8, min(n_rows, target) + 1, 8):
+        if n_rows % bn == 0:
+            best = bn
+    return best
+
+
+def norm_mod_dot_supported(n_rows: int, h: int, n_out: int) -> bool:
+    return (_pick_bn_rows(n_rows, 256) > 0 and h % 128 == 0
+            and n_out % 128 == 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("norm", "out_dtype", "interpret"))
+def int8_norm_mod_dot(
+    x: jax.Array,        # [B, Np, H] bf16/f32 RAW residual stream
+    scale: jax.Array,    # [B, H] fp32 AdaLN scale (the "1 +" is internal)
+    shift: jax.Array,    # [B, H] fp32 AdaLN shift
+    w_q: jax.Array,      # [H, N] int8
+    w_scale: jax.Array,  # [1, N] fp32
+    bias: jax.Array,     # [1, N] fp32 (zeros when the projection has none)
+    *,
+    norm: str = "rms",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """``dequant(quant(norm_mod(x)) @ w_q) + bias`` -> [B, Np, N].
+
+    One kernel for the serving attention branch's whole input path:
+    affine-free norm -> AdaLN modulate -> dynamic per-row int8 quant ->
+    int8 dot (the fused qkv projection).  x crosses HBM exactly once.
+    The prologue runs in fp32 end-to-end (strictly more precise than the
+    XLA path's bf16 intermediates — same rationale as fast_epilogue).
+    """
+    B, Np, H = x.shape
+    H2, N = w_q.shape
+    assert H == H2, (x.shape, w_q.shape)
+    bn = _pick_bn_rows(Np, 256)
+    assert bn and H % 128 == 0 and N % 128 == 0, (Np, H, N)
+    # [B, 1, H]: Mosaic requires the trailing block dims be 8/128-aligned
+    # OR equal to the array dims — a (1, H) block over [B, H] is neither.
+    scale, shift = scale[:, None, :], shift[:, None, :]
+
+    return pl.pallas_call(
+        functools.partial(_norm_mod_dot_kernel, norm=norm),
+        grid=(B, Np // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn, N), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * H * N,
+            bytes_accessed=B * Np * H * 2 + H * N + B * Np * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, scale, shift, w_q, w_scale, bias)
+
+
+def _norm_mod_gelu_kernel(x_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
+                          gq_ref, gs_ref, *, norm: str, gelu_impl: str):
+    x = x_ref[0].astype(jnp.float32)  # [bn, H]
+    y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    a_q = jnp.round(y / s).astype(jnp.int8)
+    acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
+    z = acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]
+    g = _gelu(z, gelu_impl)
+    gs = jnp.maximum(
+        jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
+    )
+    gq_ref[0] = jnp.round(g / gs).astype(jnp.int8)
+    gs_ref[0] = gs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("norm", "gelu_impl", "interpret"))
+def int8_norm_mod_dense_gelu_quant(
+    x: jax.Array,        # [B, Np, H] bf16/f32 RAW residual stream
+    scale: jax.Array,    # [B, H] fp32
+    shift: jax.Array,    # [B, H] fp32
+    w_q: jax.Array,      # [H, N1] int8
+    w_scale: jax.Array,  # [1, N1] fp32
+    bias: jax.Array,     # [1, N1] fp32
+    *,
+    norm: str = "rms",
+    gelu_impl: str = "tanh",
+    interpret: bool = False,
+):
+    """Serving MLP first half with the norm+modulate prologue fused in:
+    ``quantize(gelu(dequant(quant(norm_mod(x)) @ w_q) + b))`` ->
+    (int8 [B, Np, N1], fp32 row scales [B, Np, 1]).  The int8 output
+    feeds the second MLP dot at rank 3.  fp32 epilogue (fast_epilogue
+    semantics); VMEM bounds the row block to ~88 at v3 geometry."""
+    B, Np, H = x.shape
+    H2, N1 = w_q.shape
+    assert H == H2, (x.shape, w_q.shape)
+    # two f32 [bn, N1] temporaries + w (H*N1 int8) must fit VMEM
+    bn = _pick_bn_rows(Np, 128 if H * N1 >= 4 * 1024 * 1024 else 256)
+    assert bn and H % 128 == 0 and N1 % 128 == 0, (Np, H, N1)
+    scale, shift = scale[:, None, :], shift[:, None, :]  # see norm_mod_dot
+
+    return pl.pallas_call(
+        functools.partial(_norm_mod_gelu_kernel, norm=norm,
+                          gelu_impl=gelu_impl),
+        grid=(B, Np // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, H), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, N1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bn, N1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Np, N1), jnp.int8),
+            jax.ShapeDtypeStruct((B, Np, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Np * H * N1,
+            bytes_accessed=B * Np * H * 2 + H * N1 + B * Np * N1,
+            transcendentals=B * Np * N1,
+        ),
+        interpret=interpret,
+    )(x, scale, shift, w_q, w_scale, bias)
+
+
 def _mlp_full_kernel(a_ref, w1_ref, w1s_ref, b1_ref, w2_ref, w2s_ref,
                      b2_ref, out_ref, *, n_slabs: int, gelu_impl: str):
     """Whole serving MLP in one program: quant(a) -> dot1 -> dequant+bias+

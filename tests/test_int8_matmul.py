@@ -301,3 +301,63 @@ def test_gelu_variants_key_the_jit_cache():
     # different epilogue precision -> different traces actually ran (bf16
     # round-trips shift some int8 rounds)
     assert q_fast.shape == q_exact.shape
+
+
+def test_norm_mod_prologue_kernels_bit_match_unfused_chain():
+    """int8_norm_mod_dot / int8_norm_mod_dense_gelu_quant fold the
+    affine-free norm + AdaLN modulation + row quant into the dot kernels.
+    Against an eager transcription of the unfused chain (flax norm -> bf16
+    modulate -> w8a8_dot / int8_dense_gelu_quant) they are BIT-IDENTICAL:
+    the prologue inserts bf16 rounds exactly where the unfused path has
+    them, so the int8 quantisation boundaries cannot shift."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from jatsr_tpu.ops.int8_matmul import (
+        int8_dense_gelu_quant,
+        int8_norm_mod_dense_gelu_quant,
+        int8_norm_mod_dot,
+        quantize_cols,
+    )
+    from jatsr_tpu.ops.quant import w8a8_dot
+
+    B, Np, H, N = 2, 16, 128, 256
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, Np, H)).astype(jnp.bfloat16)
+    scale = (jax.random.normal(jax.random.PRNGKey(1), (B, H)) * 0.1
+             ).astype(jnp.bfloat16)
+    shift = (jax.random.normal(jax.random.PRNGKey(2), (B, H)) * 0.1
+             ).astype(jnp.bfloat16)
+    w_q, w_s = quantize_cols(
+        jax.random.normal(jax.random.PRNGKey(3), (H, N)) / np.sqrt(H))
+    b1 = (jax.random.normal(jax.random.PRNGKey(4), (1, N)) * 0.05
+          ).astype(jnp.float32)
+
+    for norm in ("layer", "rms"):
+        m = (nn.RMSNorm(use_scale=False, epsilon=1e-6, dtype=jnp.bfloat16)
+             if norm == "rms" else
+             nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                          dtype=jnp.bfloat16))
+        h = m.apply({}, x)
+        h = h * (1 + scale[:, None, :]) + shift[:, None, :]
+
+        ref = w8a8_dot(h.astype(jnp.bfloat16), w_q, w_s)
+        got = int8_norm_mod_dot(
+            x, scale.astype(jnp.float32), shift.astype(jnp.float32),
+            w_q, w_s, jnp.zeros((1, N), jnp.float32),
+            norm=norm, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      np.asarray(ref, np.float32))
+
+        rq, rs = int8_dense_gelu_quant(
+            h.astype(jnp.bfloat16).reshape(B * Np, H), w_q, w_s, b1,
+            interpret=True)
+        gq, gs = int8_norm_mod_dense_gelu_quant(
+            x, scale.astype(jnp.float32), shift.astype(jnp.float32),
+            w_q, w_s, b1, norm=norm, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gq).reshape(B * Np, N),
+                                      np.asarray(rq))
+        np.testing.assert_array_equal(np.asarray(gs).reshape(B * Np, 1),
+                                      np.asarray(rs))

@@ -277,3 +277,45 @@ def test_sublane_aligned_serving_matches_unaligned():
     o_plain = plain.apply({"params": params}, x, t, c)
     np.testing.assert_allclose(np.asarray(o_aligned), np.asarray(o_plain),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_fused_prologue_matches_unfused_serving():
+    """fused_prologue folds norm+modulate+quant into the qkv/mlp_in dot
+    kernels — outputs must match the standard int8_static serving path on
+    the same params (fp32 prologue vs bf16 intermediates: small tolerance)."""
+    import dataclasses
+
+    import numpy as np
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+
+    base = dataclasses.replace(
+        get_preset("tiny").model, dropout=0.0, drop_path_rate=0.0,
+        matmul_precision="int8_static", fused_qkv=True, fused_mlp=True,
+        attention_impl="flash", align_n=True,
+    )
+    for norm in ("layer", "rms"):
+        cfg = dataclasses.replace(base, norm=norm)
+        model = DiT(cfg)
+        key = jax.random.PRNGKey(0)
+        B, T = 2, 92 * cfg.patch_len  # N=92 -> align pads to 96 (8-aligned)
+        x = jax.random.normal(key, (B, T, cfg.input_channels))
+        t = jnp.full((B,), 0.4)
+        c = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.cond_channels))
+        params = model.init({"params": key, "dropout": key}, x, t, c)["params"]
+        params = jax.tree_util.tree_map(lambda p: p + 0.01, params)
+
+        o_std = model.apply({"params": params}, x, t, c)
+        fused = DiT(dataclasses.replace(cfg, fused_prologue=True))
+        o_pro = fused.apply({"params": params}, x, t, c)
+        assert o_pro.shape == o_std.shape
+        # The prologue kernel is bit-identical to an eager transcription
+        # of the unfused chain (unit tests in test_int8_matmul.py), but
+        # the XLA path itself is compilation-context-sensitive: when
+        # fusing the norm/mod elementwise chain XLA may keep fp32 through
+        # intermediates instead of rounding each bf16 op, so the model's
+        # own std-path numerics wobble at the bf16 level and amplify
+        # through the affine-free norms.  Tolerance covers that wobble.
+        np.testing.assert_allclose(np.asarray(o_pro), np.asarray(o_std),
+                                   atol=8e-2, rtol=8e-2)

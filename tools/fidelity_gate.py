@@ -110,6 +110,19 @@ def main():
         {"params": key, "dropout": key},
         cond, jnp.zeros((B,), jnp.float32), cond,
     )["params"]
+    # Perturb ALL leaves away from init: AdaLN-Zero makes a fresh model the
+    # identity (final_proj and adaln are zero-init), so every precision
+    # path would produce bit-identical zero predictions and the gate would
+    # pass vacuously.  The noise puts every projection, gate and the head
+    # on real (random) dynamics at the true depth/width.
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    pkeys = jax.random.split(jax.random.PRNGKey(42), len(leaves))
+    leaves = [
+        l + (0.02 * jax.random.normal(k, l.shape, jnp.float32)).astype(
+            l.dtype)
+        for l, k in zip(leaves, pkeys)
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
     n_params = count_params(params)
     print(f"# fidelity gate: {n_params/1e6:.0f}M params, B={B}, T={T}, "
           f"{args.steps}-step CFG {args.cfg_scale}")
@@ -143,7 +156,8 @@ def main():
     results = []
     ref = None
     ref_wav = None
-    worst_lsd = 0.0
+    base_row = None  # the int8_static row: the stack's noise floor
+    worst_excess = 0.0
     for name, mcfg in configs:
         if mcfg.matmul_precision == "int8_static":
             model = DiT(mcfg)
@@ -161,6 +175,9 @@ def main():
         row = {"config": name}
         if ref is None:
             ref = lat
+            # guard against a vacuous gate (zero-dynamics model)
+            assert float(np.abs(ref).max()) > 0.1, (
+                "parity output is trivial; the gate would measure nothing")
             if codec is not None:
                 ref_wav = decode(lat)
         else:
@@ -176,17 +193,30 @@ def main():
 
                 wav = decode(lat)
                 row["lsd_db_vs_parity"] = round(
-                    float(calculate_lsd(wav, ref_wav)), 4)
+                    calculate_lsd(wav, ref_wav)[0], 4)
                 row["mel_l1_vs_parity"] = round(
-                    float(calculate_mel_loss(wav, ref_wav)), 4)
-                worst_lsd = max(worst_lsd, row["lsd_db_vs_parity"])
+                    calculate_mel_loss(wav, ref_wav)[0], 4)
+            if base_row is None:
+                # int8 weight+activation quantisation itself sets the noise
+                # floor (separately quality-gated on held-out metrics,
+                # PERF.md r2); the gate here is that the STACKED knobs stay
+                # at that floor instead of compounding with depth.
+                base_row = row
+            else:
+                excess = row.get("lsd_db_vs_parity", 0.0) - base_row.get(
+                    "lsd_db_vs_parity", 0.0)
+                row["lsd_db_excess_over_int8"] = round(excess, 4)
+                worst_excess = max(worst_excess, excess)
+                if base_row.get("latent_rel_l2", 0) > 0:
+                    row["rel_l2_ratio_to_int8"] = round(
+                        row["latent_rel_l2"] / base_row["latent_rel_l2"], 3)
         results.append(row)
         print(json.dumps(row), flush=True)
 
-    if codec is not None and worst_lsd > args.gate_db:
+    if codec is not None and worst_excess > args.gate_db:
         raise SystemExit(
-            f"FIDELITY GATE FAILED: worst LSD-vs-parity {worst_lsd:.3f} dB "
-            f"> {args.gate_db} dB")
+            f"FIDELITY GATE FAILED: worst stacked-knob LSD excess over the "
+            f"int8 floor {worst_excess:.3f} dB > {args.gate_db} dB")
     print("# gate ok")
 
 
