@@ -53,6 +53,10 @@ def main(argv=None):
                          "(requires --int8)")
     ap.add_argument("--fused-mlp-impl", default="half",
                     choices=["half", "full"])
+    ap.add_argument("--fused-prologue", action="store_true",
+                    help="fold norm+AdaLN+quant into the qkv/mlp_in dot "
+                         "kernels (requires --int8 --fused-mlp "
+                         "--attention flash; enables align_n)")
     ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf"],
                     help="in-kernel GELU form for --fused-mlp")
     ap.add_argument("--no-fast-epilogue", dest="fast_epilogue",
@@ -144,6 +148,8 @@ def main(argv=None):
         attention_impl=args.attention,
         gelu_impl=args.gelu, fast_epilogue=args.fast_epilogue,
         fused_mlp_impl=args.fused_mlp_impl,
+        fused_prologue=args.fused_prologue,
+        align_n=args.fused_prologue,
     )
     serving = apply_env_aliases(serving)  # deprecated JATSR_* knobs
     print(f"[infer] attention scores dtype: {serving.scores_dtype}")

@@ -46,6 +46,10 @@ def main():
                     choices=["float32", "bfloat16"],
                     help="attention score-matrix storage dtype (quality "
                          "gate for the bf16-scores serving knob)")
+    ap.add_argument("--fused-prologue", action="store_true",
+                    help="fold norm+AdaLN+quant into the qkv/mlp_in "
+                         "kernels (implies the full --fused-mlp stack "
+                         "and align_n)")
     ap.add_argument("--fused-mlp", action="store_true",
                     help="Pallas fused dot+GELU+requant MLP (implies the "
                          "int8_static weight layout; quality gate for the "
@@ -61,6 +65,8 @@ def main():
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
+    if args.fused_prologue:
+        args.fused_mlp = True
 
     from jatsr_tpu.utils.runtime import select_platform
 
@@ -110,6 +116,8 @@ def main():
             # bit-identical merge; required for the flash v3.1/v3.2
             # kernel branches, so gates exercise the bench config
             fused_qkv=True,
+            fused_prologue=args.fused_prologue,
+            align_n=args.fused_prologue,
             dropout=0.0, drop_path_rate=0.0,
         )
         model = DiT(mcfg)

@@ -53,6 +53,8 @@ def build_configs(base):
         ("full_stack(bench_default)", stack),
         ("full_stack+erf_exact",
          dataclasses.replace(stack, gelu_impl="erf", fast_epilogue=False)),
+        ("full_stack+prologue",
+         dataclasses.replace(stack, fused_prologue=True, align_n=True)),
     ]
 
 
