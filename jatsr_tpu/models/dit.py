@@ -168,6 +168,26 @@ class GQAttention(nn.Module):
                     qkv, cos, sin, Hq, Hkv,
                     interpret=interp, n_valid=cfg.attn_valid_len,
                 )
+                if prenorm is not None and not cfg.attention_bias:
+                    # out_proj with IN-KERNEL activation quant: its
+                    # producer is the flash kernel (already materialised
+                    # in HBM — nothing for XLA to fuse the quant into),
+                    # so the separate quant pass's bf16-read + int8-write
+                    # + int8-read is pure loss here.  Numerically
+                    # identical to the two-stage path
+                    # (tests/test_int8_matmul.py::test_fused_matches_two_stage).
+                    from ..ops.int8_matmul import int8_matmul_fused
+                    from ..ops.quant import QuantParams
+
+                    wo, wos, _ = QuantParams(
+                        Hq * D, cfg.hidden_size, use_bias=False,
+                        name="out_proj")()
+                    o2 = int8_matmul_fused(
+                        out.reshape(B * N, Hq * D), wo,
+                        wos.reshape(1, -1), out_dtype=dtype,
+                        interpret=interp,
+                    )
+                    return o2.reshape(B, N, cfg.hidden_size)
                 return dense(cfg.hidden_size, "out_proj")(out)
             q = qkv[..., : Hq * D].reshape(B, N, Hq, D)
             k = qkv[..., Hq * D: (Hq + Hkv) * D].reshape(B, N, Hkv, D)

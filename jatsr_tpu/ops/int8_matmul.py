@@ -391,7 +391,11 @@ def int8_norm_mod_dot(
     B, Np, H = x.shape
     H2, N = w_q.shape
     assert H == H2, (x.shape, w_q.shape)
-    bn = _pick_bn_rows(Np, 256)
+    # Biggest row block that fits: the per-program dot's M axis IS the
+    # row block, and an MXU-starved M=88 dot costs more than the fused
+    # prologue saves (measured -3% end-to-end at v3 geometry with the
+    # first 88-row cut).  Np=352 -> one 352-row program per batch elem.
+    bn = _pick_bn_rows(Np, 384)
     assert bn and H % 128 == 0 and N % 128 == 0, (Np, H, N)
     # [B, 1, H]: Mosaic requires the trailing block dims be 8/128-aligned
     # OR equal to the array dims — a (1, H) block over [B, H] is neither.
@@ -466,8 +470,10 @@ def int8_norm_mod_dense_gelu_quant(
     B, Np, H = x.shape
     H2, N1 = w_q.shape
     assert H == H2, (x.shape, w_q.shape)
-    # two f32 [bn, N1] temporaries + w (H*N1 int8) must fit VMEM
-    bn = _pick_bn_rows(Np, 128 if H * N1 >= 4 * 1024 * 1024 else 256)
+    # Two f32 [bn, N1] temporaries + the resident w (H*N1 int8) bound the
+    # block; past that, prefer the bigger block for MXU occupancy (the
+    # dot's M axis is the row block — see int8_norm_mod_dot).
+    bn = _pick_bn_rows(Np, 192 if H * N1 >= 4 * 1024 * 1024 else 384)
     assert bn and H % 128 == 0 and N1 % 128 == 0, (Np, H, N1)
     scale, shift = scale[:, None, :], shift[:, None, :]  # see norm_mod_dot
 

@@ -93,6 +93,7 @@ def main():
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2", "flash"])
     ap.add_argument("--quantize-head", action="store_true")
+    ap.add_argument("--fused-prologue", action="store_true")
     ap.add_argument("--out", default="/tmp/jatsr_profile")
     ap.add_argument("--summarize-only", default=None,
                     help="skip capture; summarise an existing trace dir")
@@ -123,6 +124,8 @@ def main():
         fused_qkv=(args.precision or ("int8" if args.int8 else "bf16"))
         == "int8_static",
         attention_impl=args.attention,
+        fused_prologue=args.fused_prologue,
+        align_n=args.fused_prologue,
     )
     model = DiT(mcfg)
     B, T, C = args.batch, 1378, mcfg.input_channels
