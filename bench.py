@@ -102,6 +102,10 @@ def main():
                     help="split-path flash v3 kernel instead of v3.1")
     ap.add_argument("--align-n", action="store_true",
                     help="pad N to a sublane multiple on the flash path")
+    ap.add_argument("--flash-int8-qk", action="store_true",
+                    help="flash v3.3: int8 score/value dots inside the "
+                         "attention kernel (opt-in, quality-gated "
+                         "separately — see tools/fidelity_gate.py)")
     ap.add_argument("--fused-prologue", action="store_true",
                     help="fold norm+AdaLN-modulate+row-quant into the qkv/"
                          "mlp_in dot kernels (implies --align-n: the "
@@ -154,6 +158,7 @@ def main():
         fused_mlp_impl=args.fused_mlp_impl,
         flash_qkv=args.flash_qkv,
         flash_fused_out=args.flash_out,
+        flash_int8_qk=args.flash_int8_qk,
         align_n=args.align_n or args.fused_prologue,
         fused_prologue=args.fused_prologue,
         int8_impl=args.int8_impl,

@@ -112,6 +112,11 @@ class ModelConfig:
     # kernel.  Measured SLOWER than v3.1 (82.1 vs 84.2, PERF.md round 2) —
     # kept as an option for other geometries.
     flash_fused_out: bool = False
+    # flash v3.3 (OPT-IN, quality-gate before defaulting): run the score
+    # and value dots inside the flash kernel as s8 x s8 -> s32 (double
+    # MXU rate; both dots underfill the lanes at D=64).  q/k/softmax rows
+    # quantised per row, v per column — scales factor out exactly.
+    flash_int8_qk: bool = False
     # Pad the patch count N to a sublane multiple (345 -> 352) on the flash
     # serving path so [B, N, H] <-> [B*N, H] merges are free bitcasts.
     # Measured a WASH at v3 geometry (PERF.md round 2) — opt-in.

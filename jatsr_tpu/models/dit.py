@@ -167,6 +167,7 @@ class GQAttention(nn.Module):
                 out = gqa_attention_flash_qkv(
                     qkv, cos, sin, Hq, Hkv,
                     interpret=interp, n_valid=cfg.attn_valid_len,
+                    int8_qk=cfg.flash_int8_qk,
                 )
                 if prenorm is not None and not cfg.attention_bias:
                     # out_proj with IN-KERNEL activation quant: its

@@ -225,11 +225,17 @@ def gqa_attention_flash(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
                            scale: float, n_valid: int, hq: int, hkv: int,
-                           d: int):
+                           d: int, int8_qk: bool = False):
     """Flash v3.1: consumes the UNSPLIT fused-QKV projection output and
     applies RoPE in-kernel — the XLA-level qkv split slices + rotate-half
     concats (~1.3 ms/step at v3 geometry) disappear into VPU work that
-    overlaps the MXU head loop."""
+    overlaps the MXU head loop.
+
+    ``int8_qk`` (v3.3, OPT-IN, quality-gate before defaulting): the score
+    and value dots run s8 x s8 -> s32 at the double MXU rate — q/k rows
+    and softmax rows quantised per ROW, v per COLUMN (so the scales
+    factor out of the contraction exactly).  At D=64 both bf16 dots
+    underfill the MXU lanes, so int8 roughly doubles their throughput."""
     g = hq // hkv
     qkv = qkv_ref[0]          # [Np, (Hq + 2 Hkv) * D]
     np_ = qkv.shape[0]
@@ -243,18 +249,44 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         xr = jnp.concatenate([-x2, x1], axis=1)
         return x * cos + xr * sin
 
+    def rowq(x):  # [R, C] f32 -> int8 with per-row scales
+        s = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=1, keepdims=True) * _INV127_A, 1e-12)
+        return jnp.round(x / s).astype(jnp.int8), s
+
     k0 = hq * d
     v0 = (hq + hkv) * d
-    ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]) for h in range(hkv)]
-    vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
+    if int8_qk:
+        ks = [rowq(rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]).astype(
+            jnp.float32)) for h in range(hkv)]
+        vs = []
+        for h in range(hkv):
+            v = qkv[:, v0 + h * d: v0 + (h + 1) * d].astype(jnp.float32)
+            sv = jnp.maximum(
+                jnp.max(jnp.abs(v), axis=0, keepdims=True) * _INV127_A,
+                1e-12)  # per-COLUMN: factors out of the key contraction
+            vs.append((jnp.round(v / sv).astype(jnp.int8), sv))
+    else:
+        ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d])
+              for h in range(hkv)]
+        vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
 
     def score(h):
         q_h = rope(qkv[:, h * d:(h + 1) * d])
-        s = jax.lax.dot_general(
-            q_h, ks[h // g],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
+        if int8_qk:
+            q_q, sq = rowq(q_h.astype(jnp.float32))
+            k_q, sk = ks[h // g]
+            acc = jax.lax.dot_general(
+                q_q, k_q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            s = acc.astype(jnp.float32) * (sq * scale) * sk.reshape(1, -1)
+        else:
+            s = jax.lax.dot_general(
+                q_h, ks[h // g],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
         return jnp.where(mask, s, -jnp.inf)
 
     s_next = score(0)
@@ -264,17 +296,26 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
-        o = jnp.dot(w, vs[h // g], preferred_element_type=jnp.float32)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        if int8_qk:
+            w_q, sw = rowq(w)
+            v_q, sv = vs[h // g]
+            acc = jnp.dot(w_q, v_q, preferred_element_type=jnp.int32)
+            o = acc.astype(jnp.float32) * sw * sv
+        else:
+            o = jnp.dot(w.astype(qkv.dtype), vs[h // g],
+                        preferred_element_type=jnp.float32)
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
-                                             "interpret", "n_valid"))
+                                             "interpret", "n_valid",
+                                             "int8_qk"))
 def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
                             num_q_heads: int, num_kv_heads: int,
                             interpret: bool = False,
-                            n_valid: int = 0) -> jax.Array:
+                            n_valid: int = 0,
+                            int8_qk: bool = False) -> jax.Array:
     """Flash GQA from the raw fused-QKV projection output.
 
     Args:
@@ -298,7 +339,7 @@ def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
 
     kernel = functools.partial(
         _attn_kernel_flash_qkv, scale=scale, n_valid=n_valid or N,
-        hq=num_q_heads, hkv=num_kv_heads, d=D,
+        hq=num_q_heads, hkv=num_kv_heads, d=D, int8_qk=int8_qk,
     )
     QD = num_q_heads * D
     out = pl.pallas_call(

@@ -118,7 +118,12 @@ def int8_matmul_fused(
     assert K == K2 and K % 128 == 0 and N % 128 == 0, (a.shape, w_q.shape)
 
     bm = block_m or (256 if K > 2560 else 512)
-    bn = block_n or _pick_bn(N, 1024 if K <= 2560 else 512)
+    # Whole-N block when the weight fits VMEM comfortably (e.g. the
+    # serving out_proj, 1280x1280 int8): one program per row block, the
+    # weight resident across the grid — avoids re-streaming A per column
+    # block.
+    bn = block_n or (N if K * N <= (4 << 20)
+                     else _pick_bn(N, 1024 if K <= 2560 else 512))
     assert N % bn == 0, (N, bn)
     bm = min(bm, _round_up(M, 32))
     Mp = _round_up(M, bm)
@@ -431,16 +436,42 @@ def int8_norm_mod_dot(
 
 
 def _norm_mod_gelu_kernel(x_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
-                          gq_ref, gs_ref, *, norm: str, gelu_impl: str):
+                          gq_ref, gs_ref, *, norm: str, gelu_impl: str,
+                          n_slabs: int):
     x = x_ref[0].astype(jnp.float32)  # [bn, H]
     y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
     s = jnp.maximum(
         jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
     )
     a_q = jnp.round(y / s).astype(jnp.int8)
-    acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
-    z = acc.astype(jnp.float32) * s * ws_ref[:] + b_ref[:]
-    g = _gelu(z, gelu_impl)
+    n1 = w_ref.shape[1]
+    slab = n1 // n_slabs
+
+    def dot(j):
+        sl = slice(j * slab, (j + 1) * slab)
+        return jnp.dot(a_q, w_ref[:, sl], preferred_element_type=jnp.int32)
+
+    # Manual software pipeline over N1 slabs: slab j+1's MXU dot is issued
+    # before slab j's VPU epilogue (dequant + bias + GELU), so the
+    # transcendental work hides behind the dot stream (Mosaic emits
+    # compute in program order; without this the GELU serialises after
+    # the whole dot — profiled ~2 ms/step above the dot floor).  The g
+    # absmax is per-row over the FULL N1, so requantisation happens in
+    # one final pass after the last slab.
+    acc_next = dot(0)
+    parts = []
+    for j in range(n_slabs):
+        acc = acc_next
+        if j + 1 < n_slabs:
+            acc_next = dot(j + 1)
+        sl = slice(j * slab, (j + 1) * slab)
+        # Slice the REFS, not a hoisted full-width load: Mosaic rejects
+        # broadcasting a lane-sliced vector ("Invalid input layout" on
+        # vector.broadcast of the [1, slab] piece); a direct ref slice
+        # loads with a clean layout.
+        z = acc.astype(jnp.float32) * s * ws_ref[:, sl] + b_ref[:, sl]
+        parts.append(_gelu(z, gelu_impl))
+    g = parts[0] if n_slabs == 1 else jnp.concatenate(parts, axis=1)
     gs = jnp.maximum(
         jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
     )
@@ -477,9 +508,11 @@ def int8_norm_mod_dense_gelu_quant(
     assert bn and H % 128 == 0 and N1 % 128 == 0, (Np, H, N1)
     scale, shift = scale[:, None, :], shift[:, None, :]  # see norm_mod_dot
 
+    n_slabs = next((k for k in (4, 2, 5, 1)
+                    if N1 % k == 0 and (N1 // k) % 128 == 0), 1)
     return pl.pallas_call(
         functools.partial(_norm_mod_gelu_kernel, norm=norm,
-                          gelu_impl=gelu_impl),
+                          gelu_impl=gelu_impl, n_slabs=n_slabs),
         grid=(B, Np // bn),
         in_specs=[
             pl.BlockSpec((1, bn, H), lambda b, i: (b, i, 0),

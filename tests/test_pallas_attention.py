@@ -274,3 +274,29 @@ def test_flash_qkv_production_head_geometry():
     want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq * D)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_flash_int8_qk_close_to_bf16():
+    """flash v3.3 (int8 score/value dots) approximates the bf16 kernel:
+    per-row/per-column symmetric quantisation bounds the logit error at
+    ~1% relative, so attention outputs stay within a few percent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.ops.attention import gqa_attention_flash_qkv
+    from jatsr_tpu.models.dit import rope_cos_sin
+
+    B, N, Hq, Hkv, D = 2, 48, 4, 2, 32
+    TD = (Hq + 2 * Hkv) * D
+    qkv = (jax.random.normal(jax.random.PRNGKey(0), (B, N, TD))
+           ).astype(jnp.bfloat16)
+    cos, sin = rope_cos_sin(N, D)
+    ref = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv, interpret=True)
+    got = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv, interpret=True,
+                                  int8_qk=True)
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-9)
+    assert rel < 0.05, rel
+    assert np.isfinite(got).all()

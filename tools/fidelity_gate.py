@@ -55,6 +55,9 @@ def build_configs(base):
          dataclasses.replace(stack, gelu_impl="erf", fast_epilogue=False)),
         ("full_stack+prologue",
          dataclasses.replace(stack, fused_prologue=True, align_n=True)),
+        ("full_stack+prologue+int8_qk",
+         dataclasses.replace(stack, fused_prologue=True, align_n=True,
+                             flash_int8_qk=True)),
     ]
 
 
