@@ -106,10 +106,15 @@ def main():
                     help="flash v3.3: int8 score/value dots inside the "
                          "attention kernel (opt-in, quality-gated "
                          "separately — see tools/fidelity_gate.py)")
-    ap.add_argument("--fused-prologue", action="store_true",
+    ap.add_argument("--fused-prologue", action="store_true", default=True,
                     help="fold norm+AdaLN-modulate+row-quant into the qkv/"
                          "mlp_in dot kernels (implies --align-n: the "
-                         "prologue grid needs an 8-aligned patch count)")
+                         "prologue grid needs an 8-aligned patch count). "
+                         "Default on: +14%% under the cfg-interval default "
+                         "and covered by tools/fidelity_gate.py")
+    ap.add_argument("--no-fused-prologue", dest="fused_prologue",
+                    action="store_false",
+                    help="separate norm/modulate/quant passes (parity path)")
     ap.add_argument("--int8-impl", default="xla",
                     choices=["xla", "pallas", "fused"],
                     help="dynamic-int8 matmul backend")

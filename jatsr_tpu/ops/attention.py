@@ -144,17 +144,19 @@ def _attn_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     k = k_ref[0]  # [Np, Hkv*D]
     v = v_ref[0]
     np_ = q.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
-    mask = col < n_valid
+    # The wrapper zero-pads q/k/v to Np rows, so padded keys score exactly
+    # 0 and padded v rows add nothing to e @ v — no [Np, Np] masking
+    # needed, just the npad * exp(-m) denominator correction (see
+    # _attn_kernel_flash_qkv).
+    npad = np_ - n_valid
 
     def score(h):
         kv, _ = divmod(h, g)
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q[:, h * d:(h + 1) * d], k[:, kv * d:(kv + 1) * d],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        return jnp.where(mask, s, -jnp.inf)
 
     s_next = score(0)
     for h in range(hq):
@@ -163,10 +165,14 @@ def _attn_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        # Deferred softmax normalisation (see _attn_kernel_flash_qkv).
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        if npad:
+            denom = denom - npad * jnp.exp(-m)
+        r = 1.0 / denom
         kv = h // g
-        o = jnp.dot(w, v[:, kv * d:(kv + 1) * d],
-                    preferred_element_type=jnp.float32)
+        o = jnp.dot(e.astype(v.dtype), v[:, kv * d:(kv + 1) * d],
+                    preferred_element_type=jnp.float32) * r
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 
@@ -241,6 +247,11 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
     np_ = qkv.shape[0]
     cos = cos_ref[:].astype(qkv.dtype)
     sin = sin_ref[:].astype(qkv.dtype)
+    # NOTE (measured): replacing the per-head [Np, Np] score select with
+    # zeroed K/V rows + an npad*exp(-m) denominator correction LOSES
+    # ~0.5% end-to-end — the k/v masking multiplies land in the serial
+    # pre-loop prep (not overlapped with the MXU), while the per-head
+    # select rides the pipelined softmax epilogue.  Keep the select.
     col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), dimension=1)
     mask = col < n_valid
 
@@ -296,15 +307,19 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        # Deferred softmax normalisation: dot the UNnormalised e with v and
+        # scale the [Np, D] output by the reciprocal row sum — identical
+        # math, but the divide shrinks from Np*Np to Np*D elements (5.5x
+        # less VPU work at N=352, D=64).
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         if int8_qk:
-            w_q, sw = rowq(w)
+            w_q, sw = rowq(e)  # e's row max is exactly 1 -> tight scale
             v_q, sv = vs[h // g]
             acc = jnp.dot(w_q, v_q, preferred_element_type=jnp.int32)
-            o = acc.astype(jnp.float32) * sw * sv
+            o = acc.astype(jnp.float32) * (sw * r) * sv
         else:
-            o = jnp.dot(w.astype(qkv.dtype), vs[h // g],
-                        preferred_element_type=jnp.float32)
+            o = jnp.dot(e.astype(qkv.dtype), vs[h // g],
+                        preferred_element_type=jnp.float32) * r
         o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
 
 

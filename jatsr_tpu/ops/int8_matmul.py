@@ -471,6 +471,10 @@ def _norm_mod_gelu_kernel(x_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
         # loads with a clean layout.
         z = acc.astype(jnp.float32) * s * ws_ref[:, sl] + b_ref[:, sl]
         parts.append(_gelu(z, gelu_impl))
+    # NOTE (measured): computing per-slab row maxes inside the loop to
+    # "overlap" this tail pass LOSES ~0.8% end-to-end — the loop's VPU is
+    # already saturated by the GELU epilogue, so the extra abs/max there
+    # costs more than the exposed tail it removes.
     g = parts[0] if n_slabs == 1 else jnp.concatenate(parts, axis=1)
     gs = jnp.maximum(
         jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
