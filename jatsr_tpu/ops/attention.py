@@ -237,11 +237,14 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
     concats (~1.3 ms/step at v3 geometry) disappear into VPU work that
     overlaps the MXU head loop.
 
-    ``int8_qk`` (v3.3, OPT-IN, quality-gate before defaulting): the score
-    and value dots run s8 x s8 -> s32 at the double MXU rate — q/k rows
-    and softmax rows quantised per ROW, v per COLUMN (so the scales
-    factor out of the contraction exactly).  At D=64 both bf16 dots
-    underfill the MXU lanes, so int8 roughly doubles their throughput."""
+    ``int8_qk`` (hybrid v3.4, OPT-IN, quality-gate before defaulting):
+    the VALUE dot runs s8 x s8 -> s32 at double MXU rate — softmax
+    weights quantised with a FIXED 127 scale (exp(s - m) has row max
+    exactly 1, so no absmax reduce is needed), v per COLUMN (the scales
+    factor out of the contraction exactly).  Scores stay bf16: the
+    original full-int8 v3.3 (q/k per-row quant) measured 89.96 vs 100.6
+    — the per-row quant chains cost more than the double-rate score dot
+    saves at D=64."""
     g = hq // hkv
     qkv = qkv_ref[0]          # [Np, (Hq + 2 Hkv) * D]
     np_ = qkv.shape[0]
@@ -260,16 +263,15 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         xr = jnp.concatenate([-x2, x1], axis=1)
         return x * cos + xr * sin
 
-    def rowq(x):  # [R, C] f32 -> int8 with per-row scales
-        s = jnp.maximum(
-            jnp.max(jnp.abs(x), axis=1, keepdims=True) * _INV127_A, 1e-12)
-        return jnp.round(x / s).astype(jnp.int8), s
-
     k0 = hq * d
     v0 = (hq + hkv) * d
+    ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]) for h in range(hkv)]
     if int8_qk:
-        ks = [rowq(rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]).astype(
-            jnp.float32)) for h in range(hkv)]
+        # Hybrid v3.4: scores stay bf16 (per-row q/k quant chains measured
+        # a net loss at D=64 — PERF.md flash v3.3), but the VALUE dot runs
+        # s8 x s8 at double MXU rate: v per-COLUMN quantised once per kv
+        # head, and the softmax weights need NO absmax reduce at all
+        # because exp(s - m) has row max exactly 1 (fixed 127 scale).
         vs = []
         for h in range(hkv):
             v = qkv[:, v0 + h * d: v0 + (h + 1) * d].astype(jnp.float32)
@@ -278,26 +280,15 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
                 1e-12)  # per-COLUMN: factors out of the key contraction
             vs.append((jnp.round(v / sv).astype(jnp.int8), sv))
     else:
-        ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d])
-              for h in range(hkv)]
         vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
 
     def score(h):
         q_h = rope(qkv[:, h * d:(h + 1) * d])
-        if int8_qk:
-            q_q, sq = rowq(q_h.astype(jnp.float32))
-            k_q, sk = ks[h // g]
-            acc = jax.lax.dot_general(
-                q_q, k_q, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            s = acc.astype(jnp.float32) * (sq * scale) * sk.reshape(1, -1)
-        else:
-            s = jax.lax.dot_general(
-                q_h, ks[h // g],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
+        s = jax.lax.dot_general(
+            q_h, ks[h // g],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
         return jnp.where(mask, s, -jnp.inf)
 
     s_next = score(0)
@@ -313,10 +304,14 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         # less VPU work at N=352, D=64).
         r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         if int8_qk:
-            w_q, sw = rowq(e)  # e's row max is exactly 1 -> tight scale
+            # e's row max is EXACTLY 1 (exp(0) at the max-shifted column),
+            # so a fixed 127 scale quantises it with no absmax reduce —
+            # the per-row abs/max/divide chain that originally sank the
+            # int8 value dot (PERF.md flash v3.3) disappears.
+            w_q = jnp.round(e * 127.0).astype(jnp.int8)
             v_q, sv = vs[h // g]
             acc = jnp.dot(w_q, v_q, preferred_element_type=jnp.int32)
-            o = acc.astype(jnp.float32) * (sw * r) * sv
+            o = acc.astype(jnp.float32) * (r * (1.0 / 127.0)) * sv
         else:
             o = jnp.dot(e.astype(qkv.dtype), vs[h // g],
                         preferred_element_type=jnp.float32) * r

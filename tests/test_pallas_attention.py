@@ -277,9 +277,9 @@ def test_flash_qkv_production_head_geometry():
 
 
 def test_flash_int8_qk_close_to_bf16():
-    """flash v3.3 (int8 score/value dots) approximates the bf16 kernel:
-    per-row/per-column symmetric quantisation bounds the logit error at
-    ~1% relative, so attention outputs stay within a few percent."""
+    """Hybrid v3.4 (bf16 scores + int8 value dot) approximates the bf16
+    kernel: fixed-127-scale softmax-weight quantisation and per-column v
+    quantisation bound the output error at ~1% relative."""
     import jax
     import jax.numpy as jnp
     import numpy as np
