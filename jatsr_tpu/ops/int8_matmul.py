@@ -345,16 +345,36 @@ def _norm_mod(x, scale, shift, *, norm: str, eps: float = 1e-6):
 
 
 def _norm_mod_dot_kernel(x_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
-                         out_ref, *, norm: str):
-    x = x_ref[0].astype(jnp.float32)  # [bn, H]
-    y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
-    s = jnp.maximum(
-        jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
-    )
-    a_q = jnp.round(y / s).astype(jnp.int8)
-    acc = jnp.dot(a_q, w_ref[:], preferred_element_type=jnp.int32)
-    out_ref[0] = (acc.astype(jnp.float32) * s * ws_ref[:]
-                  + b_ref[:]).astype(out_ref.dtype)
+                         out_ref, *, norm: str, n_rblocks: int = 1):
+    """Row-sub-block software pipeline (see _norm_mod_gelu_kernel): with
+    n_rblocks=2 the emission order is P0, D0, P1, D1, E0, E1, so block
+    1's VPU prologue hides behind block 0's dot and block 0's dequant
+    epilogue hides behind block 1's dot.  Bit-identical per row."""
+    bn = x_ref.shape[1]
+    rb = bn // n_rblocks
+
+    def prologue(b):
+        x = x_ref[0, b * rb:(b + 1) * rb, :].astype(jnp.float32)
+        y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
+        s = jnp.maximum(
+            jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
+        )
+        return jnp.round(y / s).astype(jnp.int8), s
+
+    aq = [None] * n_rblocks
+    ss = [None] * n_rblocks
+    aq[0], ss[0] = prologue(0)
+    acc_next = jnp.dot(aq[0], w_ref[:], preferred_element_type=jnp.int32)
+    for b in range(n_rblocks):
+        if b + 1 < n_rblocks:
+            aq[b + 1], ss[b + 1] = prologue(b + 1)
+        acc = acc_next
+        if b + 1 < n_rblocks:
+            acc_next = jnp.dot(aq[b + 1], w_ref[:],
+                               preferred_element_type=jnp.int32)
+        out_ref[0, b * rb:(b + 1) * rb, :] = (
+            acc.astype(jnp.float32) * ss[b] * ws_ref[:] + b_ref[:]
+        ).astype(out_ref.dtype)
 
 
 def _pick_bn_rows(n_rows: int, target: int) -> int:
@@ -407,7 +427,10 @@ def int8_norm_mod_dot(
     scale, shift = scale[:, None, :], shift[:, None, :]
 
     return pl.pallas_call(
-        functools.partial(_norm_mod_dot_kernel, norm=norm),
+        # n_rblocks=2 (176-row halves) measured 101.7 vs 102.3: splitting
+        # the dot's M axis costs more MXU efficiency than the hidden
+        # prologue/epilogue VPU saves.  Keep the whole-block schedule.
+        functools.partial(_norm_mod_dot_kernel, norm=norm, n_rblocks=1),
         grid=(B, Np // bn),
         in_specs=[
             pl.BlockSpec((1, bn, H), lambda b, i: (b, i, 0),
@@ -437,50 +460,71 @@ def int8_norm_mod_dot(
 
 def _norm_mod_gelu_kernel(x_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
                           gq_ref, gs_ref, *, norm: str, gelu_impl: str,
-                          n_slabs: int):
-    x = x_ref[0].astype(jnp.float32)  # [bn, H]
-    y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
-    s = jnp.maximum(
-        jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
-    )
-    a_q = jnp.round(y / s).astype(jnp.int8)
+                          n_slabs: int, n_rblocks: int = 1):
+    """Two-level software pipeline (Mosaic emits compute in program
+    order, so emission order IS the schedule):
+
+    - N1 axis in ``n_slabs`` slabs: slab j+1's MXU dot is issued before
+      slab j's VPU epilogue (dequant + bias + GELU), hiding the
+      transcendentals behind the dot stream.
+    - rows in ``n_rblocks`` sub-blocks: block b+1's PROLOGUE (norm +
+      AdaLN modulate + row quant) is emitted right after block b's first
+      dot, and block b's requant tail (full-width absmax + round —
+      per-row, so it can't start before the last slab) lands after block
+      b+1's first dot is issued.  Without this the prologue and tail are
+      fully exposed VPU time at the start/end of every program.
+
+    Per-row math is untouched — outputs are bit-identical for any
+    (n_slabs, n_rblocks)."""
     n1 = w_ref.shape[1]
     slab = n1 // n_slabs
+    bn = x_ref.shape[1]
+    rb = bn // n_rblocks
 
-    def dot(j):
-        sl = slice(j * slab, (j + 1) * slab)
-        return jnp.dot(a_q, w_ref[:, sl], preferred_element_type=jnp.int32)
+    def prologue(b):
+        x = x_ref[0, b * rb:(b + 1) * rb, :].astype(jnp.float32)
+        y = _norm_mod(x, sc_ref[0], sh_ref[0], norm=norm)
+        s = jnp.maximum(
+            jnp.max(jnp.abs(y), axis=1, keepdims=True) * _INV127, 1e-12
+        )
+        return jnp.round(y / s).astype(jnp.int8), s
 
-    # Manual software pipeline over N1 slabs: slab j+1's MXU dot is issued
-    # before slab j's VPU epilogue (dequant + bias + GELU), so the
-    # transcendental work hides behind the dot stream (Mosaic emits
-    # compute in program order; without this the GELU serialises after
-    # the whole dot — profiled ~2 ms/step above the dot floor).  The g
-    # absmax is per-row over the FULL N1, so requantisation happens in
-    # one final pass after the last slab.
-    acc_next = dot(0)
-    parts = []
-    for j in range(n_slabs):
-        acc = acc_next
-        if j + 1 < n_slabs:
-            acc_next = dot(j + 1)
+    aq = [None] * n_rblocks
+    ss = [None] * n_rblocks
+
+    def dot(b, j):
         sl = slice(j * slab, (j + 1) * slab)
-        # Slice the REFS, not a hoisted full-width load: Mosaic rejects
-        # broadcasting a lane-sliced vector ("Invalid input layout" on
-        # vector.broadcast of the [1, slab] piece); a direct ref slice
-        # loads with a clean layout.
-        z = acc.astype(jnp.float32) * s * ws_ref[:, sl] + b_ref[:, sl]
-        parts.append(_gelu(z, gelu_impl))
-    # NOTE (measured): computing per-slab row maxes inside the loop to
-    # "overlap" this tail pass LOSES ~0.8% end-to-end — the loop's VPU is
-    # already saturated by the GELU epilogue, so the extra abs/max there
-    # costs more than the exposed tail it removes.
-    g = parts[0] if n_slabs == 1 else jnp.concatenate(parts, axis=1)
-    gs = jnp.maximum(
-        jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
-    )
-    gq_ref[0] = jnp.round(g / gs).astype(jnp.int8)
-    gs_ref[0] = gs
+        return jnp.dot(aq[b], w_ref[:, sl], preferred_element_type=jnp.int32)
+
+    aq[0], ss[0] = prologue(0)
+    acc_next = dot(0, 0)
+    for b in range(n_rblocks):
+        if b + 1 < n_rblocks:
+            # overlaps dot(b, 0), which is already in flight
+            aq[b + 1], ss[b + 1] = prologue(b + 1)
+        parts = []
+        for j in range(n_slabs):
+            acc = acc_next
+            if j + 1 < n_slabs:
+                acc_next = dot(b, j + 1)
+            elif b + 1 < n_rblocks:
+                acc_next = dot(b + 1, 0)
+            sl = slice(j * slab, (j + 1) * slab)
+            # Slice the REFS, not a hoisted full-width load: Mosaic
+            # rejects broadcasting a lane-sliced vector ("Invalid input
+            # layout" on vector.broadcast of the [1, slab] piece); a
+            # direct ref slice loads with a clean layout.
+            z = acc.astype(jnp.float32) * ss[b] * ws_ref[:, sl] + b_ref[:, sl]
+            parts.append(_gelu(z, gelu_impl))
+        # NOTE (measured): computing per-slab row maxes inside the loop
+        # LOSES ~0.8% end-to-end — the loop's VPU is already saturated by
+        # the GELU epilogue; the tail is hidden behind dot(b+1, 0) instead.
+        g = parts[0] if n_slabs == 1 else jnp.concatenate(parts, axis=1)
+        gs = jnp.maximum(
+            jnp.max(jnp.abs(g), axis=1, keepdims=True) * _INV127, 1e-12
+        )
+        gq_ref[0, b * rb:(b + 1) * rb, :] = jnp.round(g / gs).astype(jnp.int8)
+        gs_ref[0, b * rb:(b + 1) * rb, :] = gs
 
 
 @functools.partial(
@@ -516,9 +560,16 @@ def int8_norm_mod_dense_gelu_quant(
     # pipeline is epilogue-VPU-bound, not granularity-bound.
     n_slabs = next((k for k in (4, 2, 5, 1)
                     if N1 % k == 0 and (N1 // k) % 128 == 0), 1)
+    # Row sub-blocks (block b+1's prologue / block b's requant tail
+    # overlapping the dot stream) MEASURED A 2.8% LOSS here: the halved
+    # M=88 slab dots starve the MXU by more than the hidden VPU saves
+    # (same effect as the original 88-row-block prologue cut, -3%).
+    # The machinery stays for other geometries; production uses 1.
+    n_rblocks = 1
     return pl.pallas_call(
         functools.partial(_norm_mod_gelu_kernel, norm=norm,
-                          gelu_impl=gelu_impl, n_slabs=n_slabs),
+                          gelu_impl=gelu_impl, n_slabs=n_slabs,
+                          n_rblocks=n_rblocks),
         grid=(B, Np // bn),
         in_specs=[
             pl.BlockSpec((1, bn, H), lambda b, i: (b, i, 0),
