@@ -68,10 +68,16 @@ def main(argv=None):
                     help="shard serving over a (data, model) device mesh: "
                          "chunk batches data-parallel, params per the TP "
                          "rules (mirrors cli/train.py --mesh)")
+    ap.add_argument("--unroll-blocks", action="store_true",
+                    help="unroll the scanned block stack (serving: "
+                         "per-layer weight slices become static views; "
+                         "costs compile time)")
     ap.add_argument("--bf16-decode", action="store_true",
-                    help="run the DAC decoder conv stack in bf16 (half the "
-                         "weight HBM, 2x MXU; parity test "
-                         "tests/test_dac.py)")
+                    help="run the DAC decoder conv stack in bf16.  NOTE: "
+                         "measured 34%% SLOWER than fp32 on device time "
+                         "(per-snake dtype converts dominate, PERF.md "
+                         "round 3) — only worth it when transfers, not "
+                         "compute, bound the decode leg")
     ap.add_argument("--cfg-interval", type=float, nargs=2,
                     default=(0.0, 1.0), metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -150,6 +156,7 @@ def main(argv=None):
         fused_mlp_impl=args.fused_mlp_impl,
         fused_prologue=args.fused_prologue,
         align_n=args.fused_prologue,
+        unroll_blocks=args.unroll_blocks,
     )
     serving = apply_env_aliases(serving)  # deprecated JATSR_* knobs
     print(f"[infer] attention scores dtype: {serving.scores_dtype}")

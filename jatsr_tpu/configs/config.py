@@ -134,6 +134,14 @@ class ModelConfig:
     # fused_mlp "half" + flash v3.1) and an 8-aligned patch count
     # (pair with align_n at production geometry).  Serving only.
     fused_prologue: bool = False
+    # Unroll the scanned block stack (nn.scan unroll=depth).  The scan's
+    # per-step dynamic-slice of each layer's stacked weights materialises
+    # a COPY every iteration (profiled ~0.55 ms/step at v3 serving
+    # geometry: s8[28,1280,5120] -> s8[1280,5120] at ~48 GB/s); unrolled,
+    # the slices are static leading-dim views and XLA prefetches weights
+    # across layers.  Costs one-off compile time (28x block HLO) — a
+    # serving knob; training keeps the scan.
+    unroll_blocks: bool = False
     # Merge q/k/v projections into one [H, (Hq+2*Hkv)*D] int8 dot: one
     # activation-quant pass + one kernel launch instead of three.  Bit-
     # identical to separate projections (per-output-column weight scales;

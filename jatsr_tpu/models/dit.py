@@ -627,6 +627,10 @@ class DiT(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0,
                      nn.broadcast, mod_axis),
             length=cfg.depth,
+            # Serving knob: a fully-unrolled scan keeps the stacked param
+            # layout but turns the per-iteration weight dynamic-slices
+            # into static views (see ModelConfig.unroll_blocks).
+            unroll=cfg.depth if cfg.unroll_blocks else 1,
         )
         h, _ = ScannedBlocks(cfg, name="blocks")(h, t_emb, cos, sin, dpr,
                                                  deterministic, adaln_mod)

@@ -319,3 +319,29 @@ def test_fused_prologue_matches_unfused_serving():
         # through the affine-free norms.  Tolerance covers that wobble.
         np.testing.assert_allclose(np.asarray(o_pro), np.asarray(o_std),
                                    atol=8e-2, rtol=8e-2)
+
+
+def test_unrolled_blocks_bit_identical_to_scan():
+    """ModelConfig.unroll_blocks (serving knob: nn.scan unroll=depth —
+    turns per-layer weight dynamic-slice copies into static views) must
+    produce BIT-identical outputs from the SAME stacked params."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from jatsr_tpu.configs import get_preset
+    from jatsr_tpu.models import DiT
+
+    base = dataclasses.replace(get_preset("tiny").model, dropout=0.0,
+                               drop_path_rate=0.0)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 130, base.input_channels))
+    t = jnp.full((2,), 0.3)
+    c = jax.random.normal(jax.random.PRNGKey(1), (2, 130, base.cond_channels))
+    scan = DiT(base)
+    unrolled = DiT(dataclasses.replace(base, unroll_blocks=True))
+    params = scan.init({"params": key, "dropout": key}, x, t, c)["params"]
+    o1 = scan.apply({"params": params}, x, t, c)
+    o2 = unrolled.apply({"params": params}, x, t, c)
+    assert float(jnp.max(jnp.abs(o1 - o2))) == 0.0
