@@ -84,7 +84,7 @@ def main():
     ap.add_argument("--no-cfg-interval", dest="cfg_interval",
                     action="store_const", const=(0.0, 1.0),
                     help="reference-parity guidance: CFG on every step")
-    ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf"],
+    ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf", "sigmoid"],
                     help="in-kernel GELU form for the fused MLP (tanh "
                          "default, quality-gated; erf = exact form)")
     ap.add_argument("--no-fast-epilogue", dest="fast_epilogue",

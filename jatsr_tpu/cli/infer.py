@@ -57,7 +57,7 @@ def main(argv=None):
                     help="fold norm+AdaLN+quant into the qkv/mlp_in dot "
                          "kernels (requires --int8 --fused-mlp "
                          "--attention flash; enables align_n)")
-    ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf"],
+    ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf", "sigmoid"],
                     help="in-kernel GELU form for --fused-mlp")
     ap.add_argument("--no-fast-epilogue", dest="fast_epilogue",
                     action="store_false", default=True)

@@ -182,6 +182,11 @@ def _gelu(y, impl: str = "tanh"):
     delta <= 0.02 on the held-out eval (PERF.md round 2)."""
     if impl == "erf":
         return 0.5 * y * (1.0 + _erf(y * (1.0 / math.sqrt(2.0))))
+    if impl == "sigmoid":
+        # y * sigmoid(1.702 y): ~40% fewer VPU ops than the tanh form
+        # (no cubic), but a much looser approximation (max abs err ~0.02
+        # vs ~1e-3) — quality-gate before defaulting.
+        return y * jax.nn.sigmoid(1.702 * y)
     c = math.sqrt(2.0 / math.pi)
     return 0.5 * y * (1.0 + jnp.tanh(c * (y + 0.044715 * y * y * y)))
 
