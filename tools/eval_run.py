@@ -56,6 +56,9 @@ def main():
                          "fused serving MLP)")
     ap.add_argument("--attention", default="xla",
                     choices=["xla", "pallas", "pallas2", "flash"])
+    ap.add_argument("--gelu", default="tanh",
+                    choices=["tanh", "erf", "sigmoid"],
+                    help="in-kernel GELU form for --fused-mlp")
     ap.add_argument("--solver", default="euler", choices=["euler", "heun"],
                     help="ODE solver (heun = 2nd order, 2 model calls per "
                          "step: heun-25 costs the same 50 NFE as euler-50)")
@@ -118,6 +121,7 @@ def main():
             fused_qkv=True,
             fused_prologue=args.fused_prologue,
             align_n=args.fused_prologue,
+            gelu_impl=args.gelu,
             dropout=0.0, drop_path_rate=0.0,
         )
         model = DiT(mcfg)

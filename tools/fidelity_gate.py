@@ -58,6 +58,9 @@ def build_configs(base):
         ("full_stack+prologue+int8_qk",
          dataclasses.replace(stack, fused_prologue=True, align_n=True,
                              flash_int8_qk=True)),
+        ("full_stack+prologue+sigmoid_gelu",
+         dataclasses.replace(stack, fused_prologue=True, align_n=True,
+                             gelu_impl="sigmoid")),
     ]
 
 
