@@ -150,13 +150,18 @@ def _attn_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     # _attn_kernel_flash_qkv).
     npad = np_ - n_valid
 
+    # Base-2 softmax (see _attn_kernel_flash_qkv): scale * log2(e) folded
+    # into the [Np, D] q slice, scores in the log2 domain, exp2 epilogue.
+    scale2 = scale * math.log2(math.e)
+
     def score(h):
         kv, _ = divmod(h, g)
         return jax.lax.dot_general(
-            q[:, h * d:(h + 1) * d], k[:, kv * d:(kv + 1) * d],
+            q[:, h * d:(h + 1) * d] * jnp.asarray(scale2, q.dtype),
+            k[:, kv * d:(kv + 1) * d],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
 
     s_next = score(0)
     for h in range(hq):
@@ -164,11 +169,11 @@ def _attn_kernel_flash(q_ref, k_ref, v_ref, o_ref, *, scale: float,
         if h + 1 < hq:
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         # Deferred softmax normalisation (see _attn_kernel_flash_qkv).
         denom = jnp.sum(e, axis=-1, keepdims=True)
         if npad:
-            denom = denom - npad * jnp.exp(-m)
+            denom = denom - npad * jnp.exp2(-m)
         r = 1.0 / denom
         kv = h // g
         o = jnp.dot(e.astype(v.dtype), v[:, kv * d:(kv + 1) * d],
@@ -282,13 +287,22 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
     else:
         vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
 
+    # Base-2 softmax: fold scale * log2(e) into q BEFORE the score dot
+    # ([Np, D] multiply) so the scores land directly in the log2 domain.
+    # exp(s*scale - m) == exp2(s2 - m2) with s2 = s * scale * log2(e) —
+    # identical softmax weights, but the per-head [Np, Np] scale multiply
+    # AND the multiply inside exp's exp2-based lowering both disappear
+    # (two full score-sized VPU passes -> one [Np, D] multiply).
+    scale2 = scale * math.log2(math.e)
+
     def score(h):
-        q_h = rope(qkv[:, h * d:(h + 1) * d])
+        q_h = rope(qkv[:, h * d:(h + 1) * d]) * jnp.asarray(
+            scale2, qkv.dtype)
         s = jax.lax.dot_general(
             q_h, ks[h // g],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         return jnp.where(mask, s, -jnp.inf)
 
     s_next = score(0)
@@ -297,7 +311,7 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         if h + 1 < hq:
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         # Deferred softmax normalisation: dot the UNnormalised e with v and
         # scale the [Np, D] output by the reciprocal row sum — identical
         # math, but the divide shrinks from Np*Np to Np*D elements (5.5x
@@ -401,13 +415,17 @@ def _attn_kernel_flash_out(qkv_ref, cos_ref, sin_ref, wo_ref, wos_ref,
     ks = [rope(qkv[:, k0 + h * d: k0 + (h + 1) * d]) for h in range(hkv)]
     vs = [qkv[:, v0 + h * d: v0 + (h + 1) * d] for h in range(hkv)]
 
+    # Base-2 softmax (see _attn_kernel_flash_qkv).
+    scale2 = scale * math.log2(math.e)
+
     def score(h):
-        q_h = rope(qkv[:, h * d:(h + 1) * d])
+        q_h = rope(qkv[:, h * d:(h + 1) * d]) * jnp.asarray(
+            scale2, qkv.dtype)
         s = jax.lax.dot_general(
             q_h, ks[h // g],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        )
         return jnp.where(mask, s, -jnp.inf)
 
     s_next = score(0)
@@ -417,7 +435,7 @@ def _attn_kernel_flash_out(qkv_ref, cos_ref, sin_ref, wo_ref, wos_ref,
         if h + 1 < hq:
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        e = jnp.exp2(s - m)
         w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
         o = jnp.dot(w, vs[h // g], preferred_element_type=jnp.float32)
         outs.append(o.astype(qkv.dtype))
