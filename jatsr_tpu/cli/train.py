@@ -42,6 +42,10 @@ def main(argv=None):
                     help="save the `last` checkpoint every N epochs "
                          "(default 1 = reference parity; raise on slow "
                          "device->host links)")
+    ap.add_argument("--save-best-every", type=int, default=None,
+                    help="save the `best` checkpoint on improvement at most "
+                         "every N epochs (default 1 = reference parity; "
+                         "raise on slow device->host links)")
     ap.add_argument("--run-name", default=None,
                     help="run dir name (default: MMDDHHMM timestamp)")
     ap.add_argument("--profile-steps", type=int, default=0,
@@ -86,6 +90,8 @@ def main(argv=None):
         train_over["cfg_dropout_prob"] = args.cfg_dropout
     if args.save_last_every is not None:
         train_over["save_last_every_epochs"] = args.save_last_every
+    if args.save_best_every is not None:
+        train_over["save_best_every_epochs"] = args.save_best_every
     if train_over:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, **train_over)

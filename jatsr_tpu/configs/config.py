@@ -262,6 +262,11 @@ class TrainConfig:
     # full-state pulls can dominate epoch time; `best` is still saved
     # whenever validation improves, and interrupt-save always fires.
     save_last_every_epochs: int = 1
+    # Save the `best` checkpoint when validation improves, but at most
+    # every N epochs (1 = reference parity: write on every improvement).
+    # Early training improves val loss almost every epoch, so on slow
+    # links the per-improvement full-state pull dominates wall time.
+    save_best_every_epochs: int = 1
     log_interval_steps: int = 10
 
     # Parallelism: data-parallel shards x tensor-parallel shards.

@@ -142,6 +142,9 @@ class Trainer:
         base = Path(tcfg.save_dir_base) / preset.name
         self.start_epoch = 0
         self.best_val_loss = float("inf")
+        # -1 so the first best-save lands at epoch >= cadence-1 (a fresh
+        # run with cadence N doesn't spend a full-state pull on epoch 0).
+        self._last_best_save_epoch = -1
         if resume == "auto":
             latest = find_latest_run(str(base))
             run_dir = latest if latest else base / (
@@ -320,8 +323,16 @@ class Trainer:
             self._log(val, epoch, "Val")
             if val["loss"] < self.best_val_loss:
                 self.best_val_loss = val["loss"]
-                self.ckpt.save("best", self.state, epoch, self.best_val_loss,
-                               extra)
+                # Rate-limit best-checkpoint writes: early training improves
+                # val loss nearly every epoch, and on slow device->host
+                # links the full-state pull can dominate epoch time.  The
+                # tracked best_val_loss stays exact either way.
+                best_every = max(1, tcfg.save_best_every_epochs)
+                if (epoch - self._last_best_save_epoch >= best_every
+                        or epoch == num_epochs - 1):
+                    self.ckpt.save("best", self.state, epoch,
+                                   self.best_val_loss, extra)
+                    self._last_best_save_epoch = epoch
             if verbose:
                 print(
                     f"[epoch {epoch}] {epoch_batches} steps in "
