@@ -329,7 +329,16 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         else:
             o = jnp.dot(e.astype(qkv.dtype), vs[h // g],
                         preferred_element_type=jnp.float32) * r
-        o_ref[0, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+        # Pair head stores: at D=64 a single head's column slice is half a
+        # 128-lane register, so buffer even heads and store [Np, 2D] lane-
+        # aligned blocks on odd heads.
+        if h % 2 == 0:
+            o_prev = o
+        else:
+            o_ref[0, :, (h - 1) * d:(h + 1) * d] = jnp.concatenate(
+                [o_prev, o], axis=1).astype(o_ref.dtype)
+    if hq % 2:
+        o_ref[0, :, (hq - 1) * d:] = o_prev.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
