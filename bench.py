@@ -74,13 +74,15 @@ def main():
                          "<= 0.01 vs fp32 scores, PERF.md round 2; "
                          "--scores-dtype float32 restores the parity path)")
     ap.add_argument("--cfg-interval", type=float, nargs=2,
-                    default=(0.05, 0.9), metavar=("LO", "HI"),
+                    default=(0.1, 0.75), metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule. "
-                         "Default (0.05, 0.9) is the RECOMMENDED serving "
-                         "mode: +4%% throughput AND better held-out metrics "
-                         "(LSD -0.3 dB — guidance at extreme noise levels "
-                         "hurts; PERF.md round 2).  --no-cfg-interval "
-                         "restores the reference's always-guided schedule.")
+                         "Default (0.1, 0.75) is the RECOMMENDED serving "
+                         "mode: +12%% throughput over (0.05, 0.9) AND the "
+                         "best held-out metrics in the round-3 window sweep "
+                         "(LSD -0.41 dB vs always-guided — guidance at "
+                         "extreme noise levels hurts; PERF.md round 3).  "
+                         "--no-cfg-interval restores the reference's "
+                         "always-guided schedule.")
     ap.add_argument("--no-cfg-interval", dest="cfg_interval",
                     action="store_const", const=(0.0, 1.0),
                     help="reference-parity guidance: CFG on every step")
