@@ -168,6 +168,11 @@ class GQAttention(nn.Module):
                     qkv, cos, sin, Hq, Hkv,
                     interpret=interp, n_valid=cfg.attn_valid_len,
                     int8_qk=cfg.flash_int8_qk,
+                    # bf16_weights stays OFF: rounding the softmax weights
+                    # to bf16 before exp2 measured 113.2 vs 116.4 — Mosaic
+                    # upcasts bf16 transcendentals, so the narrower dtype
+                    # only adds converts (same lesson as the bf16-decode
+                    # snake finding, PERF.md round 3).
                 )
                 if prenorm is not None and not cfg.attention_bias:
                     # out_proj with IN-KERNEL activation quant: its

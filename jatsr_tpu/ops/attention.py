@@ -236,7 +236,8 @@ def gqa_attention_flash(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
                            scale: float, n_valid: int, hq: int, hkv: int,
-                           d: int, int8_qk: bool = False):
+                           d: int, int8_qk: bool = False,
+                           bf16_weights: bool = False):
     """Flash v3.1: consumes the UNSPLIT fused-QKV projection output and
     applies RoPE in-kernel — the XLA-level qkv split slices + rotate-half
     concats (~1.3 ms/step at v3 geometry) disappear into VPU work that
@@ -311,12 +312,21 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         if h + 1 < hq:
             s_next = score(h + 1)
         m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp2(s - m)
+        if bf16_weights:
+            # The softmax weights are consumed in bf16 by the value dot
+            # anyway (and the XLA serving path's scores_dtype=bfloat16 is
+            # quality-gated at the same precision), so round BEFORE the
+            # transcendental — the VPU runs exp2 at the half-width rate and
+            # the separate fp32->bf16 convert pass disappears.  The row sum
+            # still accumulates in fp32.
+            e = jnp.exp2((s - m).astype(jnp.bfloat16))
+        else:
+            e = jnp.exp2(s - m)
         # Deferred softmax normalisation: dot the UNnormalised e with v and
         # scale the [Np, D] output by the reciprocal row sum — identical
         # math, but the divide shrinks from Np*Np to Np*D elements (5.5x
         # less VPU work at N=352, D=64).
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
         if int8_qk:
             # e's row max is EXACTLY 1 (exp(0) at the max-shifted column),
             # so a fixed 127 scale quantises it with no absmax reduce —
@@ -343,12 +353,13 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
                                              "interpret", "n_valid",
-                                             "int8_qk"))
+                                             "int8_qk", "bf16_weights"))
 def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
                             num_q_heads: int, num_kv_heads: int,
                             interpret: bool = False,
                             n_valid: int = 0,
-                            int8_qk: bool = False) -> jax.Array:
+                            int8_qk: bool = False,
+                            bf16_weights: bool = False) -> jax.Array:
     """Flash GQA from the raw fused-QKV projection output.
 
     Args:
@@ -373,6 +384,7 @@ def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
     kernel = functools.partial(
         _attn_kernel_flash_qkv, scale=scale, n_valid=n_valid or N,
         hq=num_q_heads, hkv=num_kv_heads, d=D, int8_qk=int8_qk,
+        bf16_weights=bf16_weights,
     )
     QD = num_q_heads * D
     out = pl.pallas_call(

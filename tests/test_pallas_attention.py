@@ -209,6 +209,13 @@ def test_flash_qkv_kernel_matches_split_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
 
+    # bf16 softmax weights (the scores_dtype=bfloat16 serving mode): close
+    # to the fp32-weight path within bf16 resolution, not bit-equal.
+    got_bf16 = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv,
+                                       interpret=True, bf16_weights=True)
+    np.testing.assert_allclose(np.asarray(got_bf16), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
 
 def test_flash_out_kernel_matches_unfused_out_proj():
     """flash v3.2 (fused int8 out-projection) parity with v3.1 + the
