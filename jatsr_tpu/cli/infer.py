@@ -72,6 +72,13 @@ def main(argv=None):
                     help="unroll the scanned block stack (serving: "
                          "per-layer weight slices become static views; "
                          "costs compile time)")
+    ap.add_argument("--fused-decode", action="store_true",
+                    help="fuse the decoder tail's residual units into "
+                         "single Pallas passes (ops/dac_kernels.py): "
+                         "266.6 -> 220.1 ms per 32 s segment on a v5e.  "
+                         "Opt-in: the in-kernel bf16 tap dots are looser "
+                         "than XLA's conv numerics (bf16-resolution "
+                         "parity, tests/test_dac_kernels.py)")
     ap.add_argument("--bf16-decode", action="store_true",
                     help="run the DAC decoder conv stack in bf16.  NOTE: "
                          "measured 34%% SLOWER than fp32 on device time "
@@ -192,10 +199,12 @@ def main(argv=None):
         from ..models.dac.convert import load_torch_checkpoint
 
         codec = DAC(load_torch_checkpoint(args.dac_weights),
-                    compute_dtype=dac_dtype)
+                    compute_dtype=dac_dtype,
+                    fused_res_units=args.fused_decode)
     else:
         print("[warn] no --dac-weights: RANDOM codec (testing only)")
-        codec = DAC.random_init(0, compute_dtype=dac_dtype)
+        codec = DAC.random_init(0, compute_dtype=dac_dtype,
+                                fused_res_units=args.fused_decode)
 
     norm = Normalizer(*load_stats(args.stats))
     scfg = dataclasses.replace(

@@ -134,9 +134,31 @@ def init_params(key: jax.Array, cfg: DACConfig) -> Dict:
 # ---------------------------------------------------------------------------
 
 
-def _res_unit(p, x, dilation):
+def _res_unit(p, x, dilation, fused=False):
     """Snake -> dilated 7-conv -> Snake -> 1x1 conv, residual add.  With
-    padding 3*dilation the length is preserved, so no trim is needed."""
+    padding 3*dilation the length is preserved, so no trim is needed.
+
+    ``fused=True`` routes eligible shapes (C <= 384, fp32) through the
+    Pallas fused kernel (ops/dac_kernels.py): one HBM round-trip for the
+    whole unit instead of XLA's channels-major conv pipeline with its
+    im2col materialisation and relayout reshapes — the profiled decode
+    bottleneck at the post-upsample tail stages."""
+    if fused and x.dtype == jnp.float32:
+        from ...ops.dac_kernels import res_unit_fused, res_unit_supported
+
+        b, t, c = x.shape
+        if res_unit_supported(c, t, dilation):
+            interp = jax.default_backend() not in ("tpu",)
+            outs = [
+                res_unit_fused(
+                    x[i], p["conv1"]["w"], p["conv1"]["b"],
+                    p["conv2"]["w"], p["conv2"]["b"],
+                    p["alpha1"], p["alpha2"],
+                    dilation=dilation, interpret=interp,
+                )
+                for i in range(b)
+            ]
+            return jnp.stack(outs, axis=0)
     y = snake(x, p["alpha1"])
     y = conv1d(y, p["conv1"]["w"], p["conv1"]["b"], padding=3 * dilation,
                dilation=dilation)
@@ -206,7 +228,8 @@ def decode_codes(params: Dict, codes: jax.Array, cfg: DACConfig) -> jax.Array:
     return z_q
 
 
-def decoder_forward(params: Dict, z: jax.Array, cfg: DACConfig) -> jax.Array:
+def decoder_forward(params: Dict, z: jax.Array, cfg: DACConfig,
+                    fused_res_units: bool = False) -> jax.Array:
     """[B, T, latent_dim] -> [B, T*hop, 1] waveform in [-1, 1]."""
     p = params["decoder"]
     x = conv1d(z, p["conv_in"]["w"], p["conv_in"]["b"], padding=3)
@@ -218,7 +241,7 @@ def decoder_forward(params: Dict, z: jax.Array, cfg: DACConfig) -> jax.Array:
             padding=math.ceil(stride / 2), output_padding=stride % 2,
         )
         for j, dil in enumerate((1, 3, 9)):
-            x = _res_unit(blk[f"res_{j}"], x, dil)
+            x = _res_unit(blk[f"res_{j}"], x, dil, fused=fused_res_units)
     x = snake(x, p["alpha_out"])
     x = conv1d(x, p["conv_out"]["w"], p["conv_out"]["b"], padding=3)
     return jnp.tanh(x)
@@ -237,7 +260,7 @@ class DAC:
     """
 
     def __init__(self, params: Dict, cfg: Optional[DACConfig] = None,
-                 compute_dtype=None):
+                 compute_dtype=None, fused_res_units: bool = False):
         """``compute_dtype=jnp.bfloat16`` runs the conv stacks in bf16
         (half the weight HBM, 2x MXU rate — a serving knob for the decode
         leg of the inference pipeline; parity vs fp32 is checked in
@@ -247,6 +270,14 @@ class DAC:
         self.cfg = cfg or DACConfig()
         self.params = params
         self.compute_dtype = compute_dtype
+        # Serving knob (decode leg): fuse the C<=384 decoder tail's
+        # residual units into one Pallas pass each (ops/dac_kernels.py,
+        # 266.6 -> 220.1 ms per 32 s segment on a v5e).  OPT-IN because
+        # the in-kernel single-pass bf16 tap dots are looser than XLA's
+        # conv numerics (bit-parity tests and exact-seam guarantees hold
+        # only on the default path); quality-gate before defaulting.
+        self.fused_res_units = fused_res_units
+        fru = fused_res_units
         c = self.cfg
         self._encode = jax.jit(
             lambda p, a: quantize(p, encoder_forward(p, a, c), c)
@@ -265,20 +296,23 @@ class DAC:
             )
             self._decode = jax.jit(
                 lambda p, z: decoder_forward(
-                    {"decoder": p}, z.astype(compute_dtype), c
+                    {"decoder": p}, z.astype(compute_dtype), c,
+                    fused_res_units=fru,
                 ).astype(jnp.float32)
             )
         else:
             self._decode_params = params["decoder"]
             self._decode = jax.jit(
-                lambda p, z: decoder_forward({"decoder": p}, z, c))
+                lambda p, z: decoder_forward({"decoder": p}, z, c,
+                                             fused_res_units=fru))
 
     @classmethod
     def random_init(cls, seed: int = 0, cfg: Optional[DACConfig] = None,
-                    compute_dtype=None):
+                    compute_dtype=None, fused_res_units: bool = False):
         cfg = cfg or DACConfig()
         return cls(init_params(jax.random.PRNGKey(seed), cfg), cfg,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype,
+                   fused_res_units=fused_res_units)
 
     def pad_audio(self, audio: jax.Array) -> jax.Array:
         t = audio.shape[1]

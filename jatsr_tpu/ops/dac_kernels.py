@@ -1,0 +1,171 @@
+"""Fused DAC residual-unit kernel — Pallas TPU.
+
+XLA lowers the DAC decoder's small-channel tail convs (C <= 384 at
+T ~ 10^5-10^6 after upsampling) with channels-major (T-minor) layouts,
+materialised im2col windows ([K, T, C] copies) and whole-tensor relayout
+reshapes between stages — profiled at most of the 266 ms/32 s decode
+device time (PERF.md round 3; ref decode workload infer_test_v3m2.py:
+409-418).  A pure-JAX tap-dot rewrite measured 2x WORSE because the
+surrounding ops keep the T-minor layout and every dot pays a relayout.
+
+This kernel fuses one whole residual unit — snake -> 7-tap dilated conv
+-> snake -> 1x1 conv -> residual add (model.py:_res_unit, mirroring the
+reference dac package's ResidualUnit) — into one pass over the
+activation in its NATURAL row-major [T, C] layout:
+
+- the [Tblk + 6*dilation, C] halo window is DMA'd from HBM once per
+  program (no im2col materialisation: the 7 taps are static row-offset
+  views of the window in VMEM),
+- each tap is a [Tblk, C] x [C, C] MXU dot accumulated in fp32 (inputs
+  cast to bf16 — the same precision class as XLA's DEFAULT-precision
+  conv lowering of fp32 convs),
+- both snakes and the residual add ride the VPU between the dots, so
+  the activation crosses HBM exactly twice (in + out) per unit instead
+  of >= 6 times.
+
+Weights stay resident in VMEM across the T grid (7*C^2 + C^2 bf16 --
+2.4 MB at the largest eligible C=384).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Per-stage row-block size: keeps window + weights + output well inside
+# VMEM (~16 MB/core) at every eligible channel width (the input window is
+# double-buffered, the output block is pipelined by Mosaic).
+_ROWS_BUDGET = 245760  # tblk * C target (294912 OOM'd VMEM by 36K at C=256)
+
+
+def _tblk_for(c: int) -> int:
+    t = max(512, _ROWS_BUDGET // c)
+    return (t // 8) * 8
+
+
+def res_unit_supported(c: int, t: int, dilation: int) -> bool:
+    """Eligibility: channel widths where XLA's conv lowering loses, and
+    sequences long enough to fill at least one row block."""
+    cp = -(-c // 128) * 128
+    return c <= 384 and t >= _tblk_for(cp) + 6 * dilation
+
+
+def _snake(x, a):
+    return x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
+
+
+def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
+                     o_ref, xwin, sem, *, tblk: int, d: int, w8: int):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    # Double-buffered halo-window DMA: block i+1's copy is issued before
+    # block i's compute, so the HBM read rides under the MXU/VPU work
+    # (the single-buffer form measured DMA-latency-bound).  DMA slice
+    # sizes must be sublane-aligned, so the window is rounded up to w8;
+    # rows past tblk + 6d are junk and never read by the taps below.
+    def dma(j, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(j * tblk, w8), :], xwin.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(i + 1, (i + 1) % 2).start()
+
+    dma(i, i % 2).wait()
+    x = xwin[i % 2]  # [w8, C] fp32 (includes the 3d zero-pad margins)
+    a1 = a1_ref[:]
+    # snake(0) == 0, so the zero-pad margins stay exact conv padding.
+    y = _snake(x, a1).astype(jnp.bfloat16)
+
+    acc = jnp.dot(y[:tblk], w7_ref[0],
+                  preferred_element_type=jnp.float32)
+    for k in range(1, 7):
+        acc = acc + jnp.dot(y[k * d: k * d + tblk], w7_ref[k],
+                            preferred_element_type=jnp.float32)
+    y2 = _snake(acc + b7_ref[:], a2_ref[:]).astype(jnp.bfloat16)
+    y3 = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = x[3 * d: 3 * d + tblk] + y3 + b1_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
+def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
+                   w1: jax.Array, b1: jax.Array,
+                   alpha1: jax.Array, alpha2: jax.Array,
+                   dilation: int, interpret: bool = False) -> jax.Array:
+    """Fused snake -> conv7(dilated, pad 3d) -> snake -> conv1x1 -> +x.
+
+    Args:
+        x: [T, C] fp32 activation (single batch element).
+        w7: [7, C, C] conv kernel (WIO), b7: [C].
+        w1: [1, C, C] or [C, C] 1x1 kernel, b1: [C].
+        alpha1/alpha2: [C] snake parameters.
+    Returns:
+        [T, C] fp32, identical math to model._res_unit.
+    """
+    t, c = x.shape
+    d = dilation
+    # Mosaic HBM DMA slices need a 128-aligned lane dim: pad channels up
+    # (exact — zero input lanes stay zero through snake(0)=0 and the
+    # zero-padded weight rows/columns) and slice the output back.
+    cp = -(-c // 128) * 128
+    w1m = w1.reshape(c, c) if w1.ndim == 3 else w1
+    if cp != c:
+        e = cp - c
+        x = jnp.pad(x, ((0, 0), (0, e)))
+        w7 = jnp.pad(w7, ((0, 0), (0, e), (0, e)))
+        w1m = jnp.pad(w1m, ((0, e), (0, e)))
+        b7 = jnp.pad(b7, (0, e))
+        b1 = jnp.pad(b1, (0, e))
+        alpha1 = jnp.pad(alpha1, (0, e), constant_values=1.0)
+        alpha2 = jnp.pad(alpha2, (0, e), constant_values=1.0)
+    tblk = _tblk_for(cp)
+    # Halo window rounded up to a sublane multiple (Mosaic DMA slices
+    # must be 8-row aligned); the tail is padded so the last block's
+    # window stays in bounds.
+    w8 = -(-(tblk + 6 * d) // 8) * 8
+    nblk = -(-t // tblk)
+    xp = jnp.pad(x, ((3 * d, (nblk - 1) * tblk + w8 - t - 3 * d), (0, 0)))
+
+    w7b = w7.astype(jnp.bfloat16)
+    w1b = w1m.astype(jnp.bfloat16)
+    row = lambda v: v.reshape(1, cp).astype(jnp.float32)
+
+    kernel = functools.partial(_res_unit_kernel, tblk=tblk, d=d, w8=w8)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nblk * tblk, cp), jnp.float32),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((7, cp, cp), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tblk, cp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w8, cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 8 * t * c * c,
+            bytes_accessed=2 * t * c * 4,
+            transcendentals=2 * t * c,
+        ),
+        interpret=interpret,
+    )(xp, w7b, row(b7), w1b, row(b1), row(alpha1), row(alpha2))
+    return out[:t, :c]

@@ -1,0 +1,58 @@
+"""Parity of the fused Pallas DAC residual-unit kernel vs the layer
+composition it replaces (models/dac/model.py:_res_unit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("dilation", [1, 3, 9])
+def test_res_unit_fused_matches_composition(dilation):
+    from jatsr_tpu.models.dac.layers import conv1d, snake
+    from jatsr_tpu.ops.dac_kernels import res_unit_fused, res_unit_supported
+
+    T, C = 3200, 128
+    assert res_unit_supported(C, T, dilation)
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w7 = jax.random.normal(ks[1], (7, C, C), jnp.float32) * 0.05
+    b7 = jax.random.normal(ks[2], (C,), jnp.float32) * 0.1
+    w1 = jax.random.normal(ks[3], (1, C, C), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[4], (C,), jnp.float32) * 0.1
+    a1 = jnp.abs(jax.random.normal(ks[5], (C,), jnp.float32)) + 0.5
+    a2 = jnp.abs(jax.random.normal(ks[6], (C,), jnp.float32)) + 0.5
+
+    got = res_unit_fused(x, w7, b7, w1, b1, a1, a2,
+                         dilation=dilation, interpret=True)
+
+    xb = x[None]
+    y = snake(xb, a1)
+    y = conv1d(y, w7, b7, padding=3 * dilation, dilation=dilation)
+    y = snake(y, a2)
+    y = conv1d(y, w1, b1)
+    want = (xb + y)[0]
+
+    # The kernel's dots run bf16xbf16->fp32 (the same class as XLA's
+    # DEFAULT-precision conv lowering); compare at bf16 resolution.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_decoder_fused_path_matches_unfused():
+    """End-to-end decoder with fused res-units vs the plain path, on a
+    sequence long enough to hit kernel eligibility in the tail stages."""
+    from jatsr_tpu.models.dac import DAC
+    from jatsr_tpu.models.dac.model import decoder_forward
+
+    codec = DAC.random_init(0)
+    # 2 s at the production geometry: the last two stages (C=192/96)
+    # clear the block-size eligibility threshold.
+    z = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, 172, codec.cfg.latent_dim), jnp.float32)
+    got = decoder_forward(codec.params, z, codec.cfg, fused_res_units=True)
+    want = decoder_forward(codec.params, z, codec.cfg, fused_res_units=False)
+    assert got.shape == want.shape
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 5e-2, err

@@ -34,6 +34,11 @@ def main():
                     help="context frames each side (decode_latent default)")
     ap.add_argument("--iters", type=int, default=8,
                     help="chained decodes inside the jitted program")
+    ap.add_argument("--no-fused", dest="fused", action="store_false",
+                    default=True,
+                    help="disable the fused Pallas residual-unit kernel "
+                         "(ops/dac_kernels.py) and measure the plain "
+                         "XLA conv path")
     ap.add_argument("--bf16", action="store_true",
                     help="decoder conv stacks in bf16 (the serving knob)")
     ap.add_argument("--trace", default=None,
@@ -61,7 +66,8 @@ def main():
         cfg = DACConfig()  # production 44.1 kHz geometry, 1024-ch latent
         T = int(args.seconds * 44100 / 512) + 2 * args.ctx
     codec = DAC(init_params(jax.random.PRNGKey(0), cfg), cfg,
-                compute_dtype=jnp.bfloat16 if args.bf16 else None)
+                compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                fused_res_units=args.fused)
 
     z0 = jax.random.normal(jax.random.PRNGKey(1), (1, T, cfg.latent_dim),
                            jnp.float32)
