@@ -78,13 +78,19 @@ def main(argv=None):
                          "266.6 -> 220.1 ms per 32 s segment on a v5e.  "
                          "Opt-in: the in-kernel bf16 tap dots are looser "
                          "than XLA's conv numerics (bf16-resolution "
-                         "parity, tests/test_dac_kernels.py)")
+                         "parity, tests/test_dac_kernels.py).  fp32-only: "
+                         "combined with --bf16-decode the decoder falls "
+                         "back to the unfused conv path (warned)")
     ap.add_argument("--bf16-decode", action="store_true",
                     help="run the DAC decoder conv stack in bf16.  NOTE: "
                          "measured 34%% SLOWER than fp32 on device time "
                          "(per-snake dtype converts dominate, PERF.md "
                          "round 3) — only worth it when transfers, not "
                          "compute, bound the decode leg")
+    ap.add_argument("--solver", default="euler",
+                    choices=["euler", "heun"],
+                    help="ODE solver (heun = 2nd order, 2 model calls "
+                         "per step)")
     ap.add_argument("--cfg-interval", type=float, nargs=2,
                     default=(0.0, 1.0), metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
@@ -209,8 +215,15 @@ def main(argv=None):
     norm = Normalizer(*load_stats(args.stats))
     scfg = dataclasses.replace(
         preset.sampler, num_steps=args.steps, cfg_scale=args.cfg_scale,
-        cfg_interval=tuple(args.cfg_interval),
+        cfg_interval=tuple(args.cfg_interval), solver=args.solver,
     )
+    # Schedule provenance (VERDICT r3 #9): saved artifacts must never be
+    # ambiguous about the guidance schedule that produced them.
+    print(f"[infer] sampler: {scfg.solver}-{scfg.num_steps}, "
+          f"cfg_scale={scfg.cfg_scale}, "
+          f"cfg_interval=({scfg.cfg_interval[0]}, {scfg.cfg_interval[1]})"
+          + ("" if scfg.cfg_interval == (0.0, 1.0)
+             else " [non-parity guidance schedule]"))
     mesh = None
     if args.mesh:
         from ..parallel import make_mesh

@@ -149,16 +149,13 @@ def _res_unit(p, x, dilation, fused=False):
         b, t, c = x.shape
         if res_unit_supported(c, t, dilation):
             interp = jax.default_backend() not in ("tpu",)
-            outs = [
-                res_unit_fused(
-                    x[i], p["conv1"]["w"], p["conv1"]["b"],
-                    p["conv2"]["w"], p["conv2"]["b"],
-                    p["alpha1"], p["alpha2"],
-                    dilation=dilation, interpret=interp,
-                )
-                for i in range(b)
-            ]
-            return jnp.stack(outs, axis=0)
+            # One pallas_call: the batch dim rides the kernel grid.
+            return res_unit_fused(
+                x, p["conv1"]["w"], p["conv1"]["b"],
+                p["conv2"]["w"], p["conv2"]["b"],
+                p["alpha1"], p["alpha2"],
+                dilation=dilation, interpret=interp,
+            )
     y = snake(x, p["alpha1"])
     y = conv1d(y, p["conv1"]["w"], p["conv1"]["b"], padding=3 * dilation,
                dilation=dilation)
@@ -277,6 +274,18 @@ class DAC:
         # conv numerics (bit-parity tests and exact-seam guarantees hold
         # only on the default path); quality-gate before defaulting.
         self.fused_res_units = fused_res_units
+        if fused_res_units and compute_dtype is not None and \
+                jnp.dtype(compute_dtype) != jnp.float32:
+            # The fused kernel gates on fp32 inputs (_res_unit), so this
+            # combination silently falls back to the plain conv path —
+            # and fp32 decode is FASTER on device anyway (PERF.md r3).
+            import warnings
+
+            warnings.warn(
+                "fused_res_units requires fp32 decode; the "
+                f"compute_dtype={jnp.dtype(compute_dtype).name} decoder "
+                "will use the unfused conv path (drop compute_dtype to "
+                "enable the fused kernel)", stacklevel=2)
         fru = fused_res_units
         c = self.cfg
         self._encode = jax.jit(

@@ -60,29 +60,38 @@ def _snake(x, a):
 
 def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
                      o_ref, xwin, sem, *, tblk: int, d: int, w8: int):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    n = pl.num_programs(1)
+    lin = b * n + i  # linear program index over the whole (B, nblk) grid
 
-    # Double-buffered halo-window DMA: block i+1's copy is issued before
-    # block i's compute, so the HBM read rides under the MXU/VPU work
-    # (the single-buffer form measured DMA-latency-bound).  DMA slice
-    # sizes must be sublane-aligned, so the window is rounded up to w8;
-    # rows past tblk + 6d are junk and never read by the taps below.
-    def dma(j, slot):
+    # Double-buffered halo-window DMA: the next program's copy is issued
+    # before this program's compute, so the HBM read rides under the
+    # MXU/VPU work (the single-buffer form measured DMA-latency-bound).
+    # The pipeline runs across the batch boundary too (the last block of
+    # element b prefetches block 0 of element b+1).  DMA slice sizes must
+    # be sublane-aligned, so the window is rounded up to w8; rows past
+    # tblk + 6d are junk and never read by the taps below.
+    def dma(bb, j, slot):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(j * tblk, w8), :], xwin.at[slot], sem.at[slot]
+            x_hbm.at[bb, pl.ds(j * tblk, w8), :], xwin.at[slot], sem.at[slot]
         )
 
-    @pl.when(i == 0)
+    @pl.when(lin == 0)
     def _():
-        dma(0, 0).start()
+        dma(0, 0, 0).start()
 
     @pl.when(i + 1 < n)
     def _():
-        dma(i + 1, (i + 1) % 2).start()
+        dma(b, i + 1, (lin + 1) % 2).start()
 
-    dma(i, i % 2).wait()
-    x = xwin[i % 2]  # [w8, C] fp32 (includes the 3d zero-pad margins)
+    @pl.when((i + 1 == n) & (b + 1 < nb))
+    def _():
+        dma(b + 1, 0, (lin + 1) % 2).start()
+
+    dma(b, i, lin % 2).wait()
+    x = xwin[lin % 2]  # [w8, C] fp32 (includes the 3d zero-pad margins)
     a1 = a1_ref[:]
     # snake(0) == 0, so the zero-pad margins stay exact conv padding.
     y = _snake(x, a1).astype(jnp.bfloat16)
@@ -94,7 +103,7 @@ def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
                             preferred_element_type=jnp.float32)
     y2 = _snake(acc + b7_ref[:], a2_ref[:]).astype(jnp.bfloat16)
     y3 = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
-    o_ref[:] = x[3 * d: 3 * d + tblk] + y3 + b1_ref[:]
+    o_ref[0] = x[3 * d: 3 * d + tblk] + y3 + b1_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
@@ -105,14 +114,18 @@ def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
     """Fused snake -> conv7(dilated, pad 3d) -> snake -> conv1x1 -> +x.
 
     Args:
-        x: [T, C] fp32 activation (single batch element).
+        x: [T, C] or [B, T, C] fp32 activation.  The batch dim rides the
+           Pallas grid — one pallas_call regardless of B (ADVICE r3).
         w7: [7, C, C] conv kernel (WIO), b7: [C].
         w1: [1, C, C] or [C, C] 1x1 kernel, b1: [C].
         alpha1/alpha2: [C] snake parameters.
     Returns:
-        [T, C] fp32, identical math to model._res_unit.
+        same shape as x, fp32, identical math to model._res_unit.
     """
-    t, c = x.shape
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    nb, t, c = x.shape
     d = dilation
     # Mosaic HBM DMA slices need a 128-aligned lane dim: pad channels up
     # (exact — zero input lanes stay zero through snake(0)=0 and the
@@ -121,7 +134,7 @@ def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
     w1m = w1.reshape(c, c) if w1.ndim == 3 else w1
     if cp != c:
         e = cp - c
-        x = jnp.pad(x, ((0, 0), (0, e)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, e)))
         w7 = jnp.pad(w7, ((0, 0), (0, e), (0, e)))
         w1m = jnp.pad(w1m, ((0, e), (0, e)))
         b7 = jnp.pad(b7, (0, e))
@@ -134,7 +147,9 @@ def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
     # window stays in bounds.
     w8 = -(-(tblk + 6 * d) // 8) * 8
     nblk = -(-t // tblk)
-    xp = jnp.pad(x, ((3 * d, (nblk - 1) * tblk + w8 - t - 3 * d), (0, 0)))
+    xp = jnp.pad(
+        x, ((0, 0), (3 * d, (nblk - 1) * tblk + w8 - t - 3 * d), (0, 0))
+    )
 
     w7b = w7.astype(jnp.bfloat16)
     w1b = w1m.astype(jnp.bfloat16)
@@ -143,29 +158,35 @@ def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
     kernel = functools.partial(_res_unit_kernel, tblk=tblk, d=d, w8=w8)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nblk * tblk, cp), jnp.float32),
-        grid=(nblk,),
+        out_shape=jax.ShapeDtypeStruct((nb, nblk * tblk, cp), jnp.float32),
+        grid=(nb, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-            pl.BlockSpec((7, cp, cp), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, cp, cp), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cp, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cp, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tblk, cp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tblk, cp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, w8, cp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 8 * t * c * c,
-            bytes_accessed=2 * t * c * 4,
-            transcendentals=2 * t * c,
+            flops=2 * 8 * nb * t * c * c,
+            bytes_accessed=2 * nb * t * c * 4,
+            transcendentals=2 * nb * t * c,
         ),
         interpret=interpret,
     )(xp, w7b, row(b7), w1b, row(b1), row(alpha1), row(alpha2))
-    return out[:t, :c]
+    out = out[:, :t, :c]
+    return out[0] if squeeze else out

@@ -322,14 +322,18 @@ class Trainer:
             val = self.validate()
             self._log(val, epoch, "Val")
             if val["loss"] < self.best_val_loss:
-                self.best_val_loss = val["loss"]
                 # Rate-limit best-checkpoint writes: early training improves
                 # val loss nearly every epoch, and on slow device->host
-                # links the full-state pull can dominate epoch time.  The
-                # tracked best_val_loss stays exact either way.
+                # links the full-state pull can dominate epoch time.
+                # best_val_loss moves ONLY when a save actually lands, so the
+                # on-disk `best` weights and the threshold persisted in
+                # `last` metadata can never diverge: an improvement skipped
+                # by the cadence gate leaves the threshold at the last SAVED
+                # value, and any later epoch that beats it still saves.
                 best_every = max(1, tcfg.save_best_every_epochs)
                 if (epoch - self._last_best_save_epoch >= best_every
                         or epoch == num_epochs - 1):
+                    self.best_val_loss = val["loss"]
                     self.ckpt.save("best", self.state, epoch,
                                    self.best_val_loss, extra)
                     self._last_best_save_epoch = epoch

@@ -40,6 +40,46 @@ def test_res_unit_fused_matches_composition(dilation):
                                atol=5e-2, rtol=5e-2)
 
 
+def test_res_unit_fused_batched_matches_per_element():
+    """[B, T, C] input through ONE pallas_call (grid carries the batch
+    dim) must equal per-element kernel calls (ADVICE r3: no Python loop
+    over B)."""
+    from jatsr_tpu.ops.dac_kernels import res_unit_fused
+
+    B, T, C, dil = 3, 3200, 128, 3
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (B, T, C), jnp.float32)
+    w7 = jax.random.normal(ks[1], (7, C, C), jnp.float32) * 0.05
+    b7 = jax.random.normal(ks[2], (C,), jnp.float32) * 0.1
+    w1 = jax.random.normal(ks[3], (1, C, C), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[4], (C,), jnp.float32) * 0.1
+    a1 = jnp.abs(jax.random.normal(ks[5], (C,), jnp.float32)) + 0.5
+    a2 = jnp.abs(jax.random.normal(ks[6], (C,), jnp.float32)) + 0.5
+
+    batched = res_unit_fused(x, w7, b7, w1, b1, a1, a2,
+                             dilation=dil, interpret=True)
+    assert batched.shape == (B, T, C)
+    for i in range(B):
+        single = res_unit_fused(x[i], w7, b7, w1, b1, a1, a2,
+                                dilation=dil, interpret=True)
+        np.testing.assert_array_equal(np.asarray(batched[i]),
+                                      np.asarray(single))
+
+
+def test_fused_plus_bf16_decode_warns():
+    """ADVICE r3: --fused-decode --bf16-decode silently fell back to the
+    unfused path; the constructor must flag the interaction."""
+    from jatsr_tpu.models.dac import DAC, DACConfig
+
+    tiny = DACConfig(encoder_dim=8, encoder_rates=(2, 4), decoder_dim=16,
+                     decoder_rates=(4, 2), n_codebooks=2, codebook_size=16,
+                     codebook_dim=4)
+    with pytest.warns(UserWarning, match="fp32"):
+        DAC.random_init(0, cfg=tiny, compute_dtype=jnp.bfloat16,
+                        fused_res_units=True)
+
+
 def test_decoder_fused_path_matches_unfused():
     """End-to-end decoder with fused res-units vs the plain path, on a
     sequence long enough to hit kernel eligibility in the tail stages."""

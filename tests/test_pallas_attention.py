@@ -217,6 +217,47 @@ def test_flash_qkv_kernel_matches_split_path():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_flash_qkv_bf16_inputs_close_to_fp32():
+    """ADVICE r3: the base-2 rewrite folds scale*log2(e) into q in the
+    INPUT dtype, so on the bf16 serving path the scale multiply rounds in
+    bf16 (one extra round per q element vs the old fp32 post-dot scale).
+    Bound that drift: bf16 qkv through the kernel must stay within bf16
+    resolution of the fp32 einsum reference."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.models.dit import apply_rope, rope_cos_sin
+    from jatsr_tpu.ops.attention import gqa_attention_flash_qkv
+
+    key = jax.random.PRNGKey(21)
+    B, N, Hq, Hkv, D = 2, 90, 8, 2, 32
+    G = Hq // Hkv
+    qkv32 = jax.random.normal(key, (B, N, (Hq + 2 * Hkv) * D), jnp.float32)
+    qkv16 = qkv32.astype(jnp.bfloat16)
+    cos, sin = rope_cos_sin(N, D)
+
+    got = gqa_attention_flash_qkv(qkv16, cos, sin, Hq, Hkv, interpret=True)
+
+    # fp32 reference: split, rope, classic scaled softmax (no base-2 fold),
+    # from the SAME bf16-rounded inputs so the comparison isolates the
+    # kernel's own rounding (q-scale fold + bf16 dots).
+    qkv = qkv16.astype(jnp.float32)
+    q = qkv[..., : Hq * D].reshape(B, N, Hq, D)
+    k = qkv[..., Hq * D: (Hq + Hkv) * D].reshape(B, N, Hkv, D)
+    v = qkv[..., (Hq + Hkv) * D:].reshape(B, N, Hkv, D)
+    q = apply_rope(q, cos, sin).reshape(B, N, Hkv, G, D)
+    k = apply_rope(k, cos, sin)
+    s = jnp.einsum("bnkgd,bmkd->bkgnm", q, k) / math.sqrt(D)
+    w = jax.nn.softmax(s, axis=-1)
+    want = jnp.einsum("bkgnm,bmkd->bnkgd", w, v).reshape(B, N, Hq * D)
+
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=2e-2, rtol=2e-2)
+
+
 def test_flash_out_kernel_matches_unfused_out_proj():
     """flash v3.2 (fused int8 out-projection) parity with v3.1 + the
     unfused dynamic per-row quantised out-proj dot."""

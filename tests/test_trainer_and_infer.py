@@ -527,6 +527,45 @@ def test_save_last_cadence(tmp_path):
     assert (run_dir / "last").exists()
 
 
+def test_best_threshold_only_moves_on_save(tmp_path, monkeypatch):
+    """save_best_every_epochs=2 with an improvement inside the skipped
+    window: the tracked/persisted best_val_loss must equal the loss of the
+    `best` checkpoint actually on disk (an unsaved improvement must NOT
+    raise the threshold, or after resume no epoch could ever re-save
+    `best` over weights that were never written)."""
+    _mini_dataset(tmp_path / "data")
+    preset = _preset(tmp_path)
+    preset = dataclasses.replace(
+        preset, train=dataclasses.replace(
+            preset.train, num_epochs=4, save_best_every_epochs=2,
+        )
+    )
+    tr = Trainer(preset, data_dir=str(tmp_path / "data"),
+                 run_name="32323232", writer=False)
+    tr.writer = None
+    # Scripted val losses: epoch 2's 0.4 improves on the saved 0.5 but the
+    # cadence gate (last save at epoch 1) skips it; epoch 3 regresses.
+    script = iter([1.0, 0.5, 0.4, 0.6])
+    monkeypatch.setattr(
+        Trainer, "validate",
+        lambda self: {"loss": next(script), "loss_std": 0.0})
+    best_saves = []
+    orig = tr.ckpt.save
+    tr.ckpt.save = lambda name, state, epoch, best, *a, **k: (
+        best_saves.append((name, epoch, best)),
+        orig(name, state, epoch, best, *a, **k))
+    final_best = tr.fit(verbose=False)
+    best_rows = [(e, b) for n, e, b in best_saves if n == "best"]
+    assert best_rows == [(1, 0.5)]  # epoch 2's 0.4 was skipped, not tracked
+    assert final_best == 0.5
+    run_dir = Path(preset.train.save_dir_base) / "tiny" / "32323232"
+    meta = json.loads((run_dir / "best.meta.json").read_text())
+    assert meta["best_val_loss"] == 0.5
+    # `last` metadata (what resume reads) agrees with the on-disk best.
+    last_meta = json.loads((run_dir / "last.meta.json").read_text())
+    assert last_meta["best_val_loss"] == 0.5
+
+
 def test_infer_cli_serving_knobs(trained, tmp_path, monkeypatch, capsys):
     """cli.infer end-to-end from a trained run dir, covering the serving
     branches: bf16 default (with bf16 scores), and --int8 --fused-mlp
@@ -546,9 +585,9 @@ def test_infer_cli_serving_knobs(trained, tmp_path, monkeypatch, capsys):
     assert tiny.latent_dim == C
     monkeypatch.setattr(
         DAC, "random_init",
-        classmethod(lambda cls, seed=0, cfg=None, compute_dtype=None: DAC(
+        classmethod(lambda cls, seed=0, cfg=None, compute_dtype=None, **kw: DAC(
             init_params(jax.random.PRNGKey(seed), tiny), tiny,
-            compute_dtype=compute_dtype)),
+            compute_dtype=compute_dtype, **kw)),
     )
 
     inp = tmp_path / "song.lr.npy"

@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--cfg-interval", type=float, nargs=2, default=(0.0, 1.0),
                     metavar=("LO", "HI"),
                     help="apply CFG only for t in [LO, HI) of the schedule")
+    ap.add_argument("--fused-decode", action="store_true",
+                    help="decode through the fused Pallas residual-unit "
+                         "kernels (the --fused-decode serving knob)")
+    ap.add_argument("--seeds", type=int, nargs="*", default=[0],
+                    help="sampler seeds; metrics are averaged over seeds "
+                         "and the report carries mean±std (VERDICT r3 #4: "
+                         "schedule-changing knobs need multi-seed "
+                         "confidence intervals)")
     ap.add_argument("--output-dir", default=None)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -214,6 +222,10 @@ def main():
         "num_songs": len(results),
         "steps": args.steps,
         "cfg_scale": args.cfg_scale,
+        # schedule provenance (VERDICT r3 #9): gated-vs-parity results
+        # must be unambiguous in saved artifacts
+        "cfg_interval": list(args.cfg_interval),
+        "solver": args.solver,
         "avg_generated": {k: avg("generated_vs_gt", k)
                           for k in ("lsd", "mel_l1", "mel_l2")},
         "avg_lr_baseline": {k: avg("lr_vs_gt_baseline", k)
