@@ -236,17 +236,138 @@ class InferencePipeline:
         key: Optional[jax.Array] = None,
         num_steps: Optional[int] = None,
         cfg_scale: Optional[float] = None,
+        max_batch: int = 8,
     ) -> np.ndarray:
         """Mono LR audio -> generated full-band audio at the codec rate.
 
         The whole chain (resample -> encode -> sample -> crossfade ->
         decode) is device-resident: audio uploads once, generated audio
-        downloads once."""
+        downloads once.  Sampling and decoding are INTERLEAVED per chunk
+        group (:meth:`super_resolve_latent_to_audio`)."""
         assert self.codec is not None, "codec required for audio output"
         lr_latent = self._encode_lr_audio_device(audio, sr)
-        gen = self.super_resolve_latent_device(lr_latent, key, num_steps,
-                                               cfg_scale)
-        return self.decode_latent(gen)  # segmented, device-resident
+        return self.super_resolve_latent_to_audio(
+            lr_latent, key, num_steps, cfg_scale, max_batch=max_batch)
+
+    @staticmethod
+    def _decode_plan(T: int, segment_frames: int, ctx_frames: int):
+        """[(s, e, lo, hi)] decode segments over a T-frame latent — the
+        same windows :meth:`decode_latent` walks (final window anchored to
+        end exactly at T so the right boundary is the decoder's true conv
+        boundary)."""
+        L = segment_frames + 2 * ctx_frames
+        segs = []
+        for s in range(0, T, segment_frames):
+            e = min(T, s + segment_frames)
+            lo = max(0, s - ctx_frames)
+            hi = min(T, e + ctx_frames)
+            if hi == T:
+                lo = max(0, T - L)
+            segs.append((s, e, lo, hi))
+        return segs
+
+    def super_resolve_latent_to_audio(
+        self,
+        lr_latent: np.ndarray,
+        key: Optional[jax.Array] = None,
+        num_steps: Optional[int] = None,
+        cfg_scale: Optional[float] = None,
+        max_batch: int = 8,
+        segment_frames: int = 2756,
+        ctx_frames: int = 64,
+    ) -> np.ndarray:
+        """[T, C] LR latent -> mono audio with sampling and decoding
+        INTERLEAVED (VERDICT r3 #1b): chunk-group *i*'s finalized decode
+        segments are enqueued before group *i+1*'s sampler call, so on a
+        multi-program backend (or while the host is busy) decode work
+        overlaps the next group's sampling instead of all decodes trailing
+        the full sampler pass.  Numerically identical to
+        ``decode_latent(super_resolve_latent_device(...))`` — the
+        incremental crossfade performs the same arithmetic as
+        :func:`crossfade_chunks_jnp` and the decode windows are the same
+        (``_decode_plan``).  Ref: infer_test_v3m2.py:370-442 runs the two
+        phases strictly serially."""
+        assert self.codec is not None, "codec required for audio output"
+        key = jax.random.PRNGKey(0) if key is None else key
+        T = lr_latent.shape[0]
+        CF, OV, hop = self.chunk_frames, self.overlap_frames, self.hop
+        plan = chunk_plan(T, CF, OV)
+
+        # Short input: single chunk, single decode — nothing to interleave.
+        if T <= segment_frames + 2 * ctx_frames or len(plan) < 2:
+            gen = self.super_resolve_latent_device(
+                lr_latent, key, num_steps, cfg_scale, max_batch)
+            return self.decode_latent(gen, segment_frames, ctx_frames)
+
+        # Normalize + pad exactly as super_resolve_latent_device.
+        lat_n = self.norm.norm_lr(
+            jnp.asarray(lr_latent, jnp.float32)[None])[0]
+        tail = plan[-1][1] - plan[-1][0]
+        if tail < CF:
+            lat_n = jnp.pad(lat_n, ((0, CF - tail), (0, 0)))
+        cond = jnp.stack([lat_n[s: s + CF] for s, _ in plan])
+
+        segs = self._decode_plan(T, segment_frames, ctx_frames)
+        L = segment_frames + 2 * ctx_frames
+        fade_out = jnp.linspace(1.0, 0.0, OV, dtype=jnp.float32)[:, None]
+        fade_in = jnp.linspace(0.0, 1.0, OV, dtype=jnp.float32)[:, None]
+
+        mb = max_batch if max_batch > 0 else len(plan)
+        groups = [(gi, cond[i: i + mb], plan[i: i + mb])
+                  for gi, i in enumerate(range(0, len(plan), mb))]
+
+        stitched = None   # device array of frames [0, done) — final values
+        pending = None    # trailing OV frames still subject to the next blend
+        wav_pieces = []
+        next_seg = 0
+        ci = 0  # global chunk index
+        for gi, g, gplan in groups:
+            n_real = g.shape[0]
+            if self._batch_sharding is not None:
+                pad_b = (-n_real) % self._data_size
+                if pad_b:
+                    g = jnp.concatenate(
+                        [g, jnp.zeros((pad_b,) + g.shape[1:], g.dtype)], 0)
+                g = jax.device_put(g, self._batch_sharding)
+            gen = self.sampler(
+                jax.random.fold_in(key, gi), g, num_steps, cfg_scale
+            )[:n_real]
+            gen = self.norm.denorm_hr(gen)
+
+            for j, (s, e) in enumerate(gplan):
+                cur = gen[j, : e - s]
+                if stitched is None:
+                    stitched, pending = cur[:-OV], cur[-OV:]
+                else:
+                    blended = pending * fade_out + cur[:OV] * fade_in
+                    body = jnp.concatenate([blended, cur[OV:]], axis=0)
+                    if ci == len(plan) - 1:
+                        stitched = jnp.concatenate([stitched, body], axis=0)
+                        pending = None
+                    else:
+                        stitched = jnp.concatenate(
+                            [stitched, body[:-OV]], axis=0)
+                        pending = body[-OV:]
+                ci += 1
+            done = stitched.shape[0]
+
+            # Enqueue every decode segment now fully final.  The device
+            # executes these while the HOST builds (and under a tunnelled
+            # backend, uploads) the next group's work.
+            while next_seg < len(segs) and segs[next_seg][3] <= done:
+                s, e, lo, hi = segs[next_seg]
+                seg = stitched[lo:hi]
+                pad = L - (hi - lo)
+                if pad:
+                    seg = jnp.pad(seg, ((0, pad), (0, 0)))
+                wav = self.codec.decode(seg[None])[0, :, 0]
+                wav_pieces.append(
+                    wav[(s - lo) * hop: (s - lo + e - s) * hop])
+                next_seg += 1
+
+        assert pending is None and stitched.shape[0] == T
+        assert next_seg == len(segs)
+        return np.concatenate([np.asarray(p) for p in wav_pieces])
 
     def decode_latent(self, latent, segment_frames: int = 2756,
                       ctx_frames: int = 64) -> np.ndarray:
@@ -264,31 +385,33 @@ class InferencePipeline:
         boundary is then the decoder's true conv-padding boundary, exactly
         as in an unsegmented decode (trailing zero-LATENT padding is not
         equivalent to per-layer conv boundary padding — ADVICE r2 #2)."""
+        # keep pieces on device: dispatch is async, so every segment's
+        # decode enqueues immediately and the host fetches below overlap
+        # the remaining compute (a per-piece np.asarray inside the loop
+        # serialised decode and transfer: 45 -> 70 audio-sec/s).
+        pieces = self.decode_latent_pieces(latent, segment_frames,
+                                           ctx_frames)
+        return np.concatenate([np.asarray(p) for p in pieces])
+
+    def decode_latent_pieces(self, latent, segment_frames: int = 2756,
+                             ctx_frames: int = 64) -> List[jax.Array]:
+        """:meth:`decode_latent` minus the host fetch: the ordered list of
+        DEVICE wav pieces (concatenated they are the full song).  Callers
+        that only need a completion barrier (benches) fetch scalars."""
         assert self.codec is not None
         z = jnp.asarray(latent)
         T = z.shape[0]
         hop = self.hop
         if segment_frames <= 0 or T <= segment_frames + 2 * ctx_frames:
-            return np.asarray(self.codec.decode(z[None]))[0, :, 0]
+            return [self.codec.decode(z[None])[0, :, 0]]
 
         L = segment_frames + 2 * ctx_frames  # fixed compile shape
         pieces = []
-        for s in range(0, T, segment_frames):
-            e = min(T, s + segment_frames)
-            lo = max(0, s - ctx_frames)
-            hi = min(T, e + ctx_frames)
-            if hi == T:
-                # window reaches the song end: slide it back so the full
-                # [lo, T) span is real latents (T > L here, so pad == 0)
-                lo = max(0, T - L)
+        for s, e, lo, hi in self._decode_plan(T, segment_frames, ctx_frames):
             seg = z[lo:hi]
             pad = L - (hi - lo)
             if pad:
                 seg = jnp.pad(seg, ((0, pad), (0, 0)))
             wav = self.codec.decode(seg[None])[0, :, 0]
-            # keep pieces on device: dispatch is async, so every segment's
-            # decode enqueues immediately and the host fetches below
-            # overlap the remaining compute (a per-piece np.asarray here
-            # serialised decode and transfer: 45 -> 70 audio-sec/s).
             pieces.append(wav[(s - lo) * hop: (s - lo + e - s) * hop])
-        return np.concatenate([np.asarray(p) for p in pieces])
+        return pieces

@@ -144,10 +144,11 @@ def main():
     if args.dac_weights:
         from jatsr_tpu.models.dac.convert import load_torch_checkpoint
 
-        codec = DAC(load_torch_checkpoint(args.dac_weights))
+        codec = DAC(load_torch_checkpoint(args.dac_weights),
+                    fused_res_units=args.fused_decode)
     else:
         print("[warn] RANDOM codec weights — quality numbers meaningless")
-        codec = DAC.random_init(0)
+        codec = DAC.random_init(0, fused_res_units=args.fused_decode)
 
     stats_path = Path(args.data_dir) / preset.data.stats_file
     norm = Normalizer(*load_stats(str(stats_path)))
@@ -176,9 +177,6 @@ def main():
             g = pipe.super_resolve_latent(lr, jax.random.PRNGKey(0),
                                           args.steps, s)
             per_scale[f"cfg_{s}"] = g
-        gen = pipe.super_resolve_latent(lr, jax.random.PRNGKey(0),
-                                        args.steps, scales[0])
-        wav_gen = pipe.decode_latent(gen)
         wav_gt = pipe.decode_latent(hr)
         wav_lr = pipe.decode_latent(lr)
 
@@ -189,7 +187,19 @@ def main():
             return dict(lsd=lsd, mel_l1=l1, mel_l2=l2, ms_mel_l1=ms1,
                         ms_mel_l2=ms2)
 
-        m_gen = metrics(wav_gen, wav_gt)
+        # One generation per sampler seed; per-song metrics are the mean
+        # over seeds, with the per-seed rows kept for the std estimate.
+        per_seed = []
+        wav_gen = None
+        for seed in args.seeds:
+            gen = pipe.super_resolve_latent(lr, jax.random.PRNGKey(seed),
+                                            args.steps, scales[0])
+            w = pipe.decode_latent(gen)
+            if wav_gen is None:
+                wav_gen = w  # first seed's audio saved/plotted below
+            per_seed.append(metrics(w, wav_gt))
+        m_gen = {k: float(np.mean([m[k] for m in per_seed]))
+                 for k in per_seed[0]}
         m_lr = metrics(wav_lr, wav_gt)
         entry = {
             "song": name,
@@ -198,6 +208,9 @@ def main():
             "lr_vs_gt_baseline": m_lr,
             "grade": grade_quality(m_gen["lsd"], m_gen["mel_l1"]),
         }
+        if len(args.seeds) > 1:
+            entry["per_seed"] = [
+                {"seed": s, **m} for s, m in zip(args.seeds, per_seed)]
         for key, g in per_scale.items():
             entry[key] = metrics(pipe.decode_latent(g), wav_gt)
             print(f"[eval]   {name} {key}: LSD {entry[key]['lsd']:.2f} dB, "
@@ -216,6 +229,14 @@ def main():
     def avg(key1, key2):
         return float(np.mean([r[key1][key2] for r in results]))
 
+    def spread(key2):
+        """std over all (song, seed) generated-vs-GT rows."""
+        rows = []
+        for r in results:
+            rows.extend(m[key2] for m in r.get(
+                "per_seed", [r["generated_vs_gt"]]))
+        return float(np.std(rows))
+
     summary = {
         "checkpoint": f"{args.run_dir}/{args.checkpoint}",
         "step": meta["global_step"],
@@ -226,7 +247,11 @@ def main():
         # must be unambiguous in saved artifacts
         "cfg_interval": list(args.cfg_interval),
         "solver": args.solver,
+        "seeds": list(args.seeds),
+        "fused_decode": bool(args.fused_decode),
         "avg_generated": {k: avg("generated_vs_gt", k)
+                          for k in ("lsd", "mel_l1", "mel_l2")},
+        "std_generated": {k: spread(k)
                           for k in ("lsd", "mel_l1", "mel_l2")},
         "avg_lr_baseline": {k: avg("lr_vs_gt_baseline", k)
                             for k in ("lsd", "mel_l1", "mel_l2")},
