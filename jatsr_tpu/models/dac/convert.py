@@ -118,13 +118,47 @@ def convert_torch_state_dict(
 
 
 def load_torch_checkpoint(path: str, cfg: DACConfig | None = None) -> Dict:
-    """Load a ``.pth`` DAC checkpoint (as published by descript) and convert.
+    """Load a DAC checkpoint and convert.
 
-    The file holds ``{"state_dict": ..., "metadata": ...}`` or a bare state
-    dict.  Requires torch for unpickling.
+    ``.pth`` (as published by descript): ``{"state_dict": ...}`` or a bare
+    state dict; requires torch for unpickling.  ``.npz`` (written by
+    :func:`save_params_npz`, e.g. via tools/import_reference.py): already
+    converted — loads with numpy alone, so TPU serving hosts don't need
+    torch installed.
     """
+    if str(path).endswith(".npz"):
+        return load_params_npz(path)
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
     return convert_torch_state_dict(sd, cfg)
+
+
+def save_params_npz(params: Dict, path: str) -> None:
+    """Persist a converted DAC param pytree as a flat ``.npz`` ("/"-joined
+    keys) — a torch-free reload format for serving hosts."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str) -> Dict:
+    """Inverse of :func:`save_params_npz`."""
+    out: Dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
