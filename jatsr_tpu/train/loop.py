@@ -126,6 +126,16 @@ class Trainer:
         else:
             self._batch_sharding = None
 
+        # MFU accounting (VERDICT r3 #5): model FLOPs per optimizer step /
+        # chip, against the v5e bf16 matmul peak, logged alongside
+        # steps_per_sec.
+        from ..utils.flops import V5E_BF16_PEAK_FLOPS, train_step_flops
+
+        n_chips = max(1, jax.device_count()) if mesh is not None else 1
+        self._flops_per_step = train_step_flops(
+            mcfg, tcfg.batch_size, target, tcfg.grad_accum_steps) / n_chips
+        self._peak_flops = V5E_BF16_PEAK_FLOPS
+
         self.train_step = jax.jit(
             make_train_step(preset.loss, tcfg, self.normalizer),
             donate_argnums=(0,),
@@ -303,6 +313,9 @@ class Trainer:
                     timer.tick()  # blocks here only (metrics were pulled)
                     vals["steps_per_sec"] = timer.steps_per_sec() \
                         * tcfg.log_interval_steps
+                    if vals["steps_per_sec"] > 0:
+                        vals["MFU"] = self._flops_per_step \
+                            * vals["steps_per_sec"] / self._peak_flops
                     self._log(vals, step_count, "Train")
                 if (tcfg.save_interval_steps
                         and step_count % tcfg.save_interval_steps == 0):

@@ -79,6 +79,14 @@ def main():
         _ = float(m["loss"])  # completion barrier
         best = min(best, time.perf_counter() - t0)
 
+    from jatsr_tpu.utils.flops import (
+        V5E_BF16_PEAK_FLOPS,
+        mfu,
+        train_step_flops,
+    )
+
+    flops = train_step_flops(preset.model, args.batch, args.frames,
+                             tcfg.grad_accum_steps)
     audio_sec = args.batch * args.frames * 512 / 44100
     print(json.dumps({
         "metric": "train_step",
@@ -87,6 +95,11 @@ def main():
         "sec_per_step": round(best, 3),
         "steps_per_sec": round(1.0 / best, 3),
         "train_audio_sec_per_sec": round(audio_sec / best, 1),
+        "model_tflops_per_step": round(flops / 1e12, 2),
+        "effective_tflops_per_sec": round(flops / best / 1e12, 1),
+        "mfu_vs_v5e_bf16_peak": round(mfu(flops, best), 4),
+        "remat_policy": preset.model.remat_policy,
+        "peak_tflops_assumed": V5E_BF16_PEAK_FLOPS / 1e12,
         "loss": float(m["loss"]),
     }))
 
