@@ -207,6 +207,33 @@ class GQAttention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
+        # Training flash path (opt-in, ModelConfig.train_attention_impl):
+        # fused forward + custom VJP with in-kernel dropout — no [B, Hq,
+        # N, N] tensor ever reaches HBM (ops/attention_train.py).
+        if (not deterministic and cfg.train_attention_impl == "flash"
+                and cfg.pos_embed == "rope"):
+            from ..ops.attention import flash_supported
+            from ..ops.attention_train import gqa_attention_train
+
+            if flash_supported(N, Hq, Hkv, D):
+                if cfg.dropout > 0.0:
+                    # Fresh int32 stream id per (step, layer): make_rng
+                    # folds in the scan index and the step-level fold_in
+                    # already happened in the caller's rng handling.
+                    seed = jax.lax.bitcast_convert_type(
+                        jax.random.bits(self.make_rng("dropout"), (1,),
+                                        jnp.uint32), jnp.int32)
+                else:
+                    seed = jnp.zeros((1,), jnp.int32)
+                out = gqa_attention_train(
+                    q.reshape(B, N, Hq * D), k.reshape(B, N, Hkv * D),
+                    v.reshape(B, N, Hkv * D), seed, Hq, Hkv,
+                    dropout_rate=cfg.dropout,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return dense(cfg.hidden_size, "out_proj")(out)
+            # else: fall through to the XLA einsum path
+
         # Fused Pallas kernels on the deterministic path (inference/serving);
         # training keeps the XLA einsum (autodiff + attention dropout).
         # "pallas" = per-(batch, q-head) programs; "pallas2" = grouped

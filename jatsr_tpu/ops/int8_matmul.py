@@ -21,14 +21,18 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Multiply by the reciprocal instead of dividing by 127: XLA strength-
 # reduces constant division to a reciprocal multiply in SOME paths (one
 # extra rounding), so an explicit multiply is the only way the Pallas and
-# XLA quantisation paths produce bit-identical scales.
-_INV127 = float(jnp.float32(1.0) / jnp.float32(127.0))
+# XLA quantisation paths produce bit-identical scales.  Computed with
+# numpy, NOT jnp: this module is lazily imported from inside traced model
+# code, and under an active trace a module-level jnp op is STAGED into
+# the trace (omnistaging), so float() on it raises ConcretizationError.
+_INV127 = float(np.float32(1.0) / np.float32(127.0))
 
 
 def quantize_rows(x: jax.Array, eps: float = 1e-12):

@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-dropout", action="store_true")
     ap.add_argument("--remat", default=None, choices=["full", "dots", "none"])
+    ap.add_argument("--train-attention", default=None,
+                    choices=["xla", "flash"],
+                    help="ModelConfig.train_attention_impl (flash = fused "
+                         "Pallas fwd + custom VJP, ops/attention_train.py)")
+    ap.add_argument("--scores-dtype", default=None,
+                    choices=["float32", "bfloat16"],
+                    help="XLA-path attention score storage dtype")
     args = ap.parse_args()
 
     from jatsr_tpu.utils.runtime import select_platform
@@ -48,6 +55,14 @@ def main():
         preset = dataclasses.replace(
             preset, model=dataclasses.replace(
                 preset.model, remat_policy=args.remat))
+    if args.train_attention:
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(
+                preset.model, train_attention_impl=args.train_attention))
+    if args.scores_dtype:
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(
+                preset.model, scores_dtype=args.scores_dtype))
     if args.no_dropout:
         preset = dataclasses.replace(
             preset, model=dataclasses.replace(
@@ -99,6 +114,7 @@ def main():
         "effective_tflops_per_sec": round(flops / best / 1e12, 1),
         "mfu_vs_v5e_bf16_peak": round(mfu(flops, best), 4),
         "remat_policy": preset.model.remat_policy,
+        "train_attention": preset.model.train_attention_impl,
         "peak_tflops_assumed": V5E_BF16_PEAK_FLOPS / 1e12,
         "loss": float(m["loss"]),
     }))
