@@ -166,6 +166,8 @@ class ModelConfig:
     attn_valid_len: int = 0
     # Backward rematerialisation policy per DiT block:
     #   "full" — recompute everything (min HBM),
+    #   "attn_out" — save only the [B, N, H] attention outputs: backward
+    #                never re-runs attention, the cheapest HBM add,
     #   "dots" — save matmul outputs, recompute elementwise (faster bwd),
     #   "none" — no remat (max HBM, fastest).
     remat_policy: str = "full"

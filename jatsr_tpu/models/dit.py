@@ -31,6 +31,7 @@ import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..configs import ModelConfig
 
@@ -424,6 +425,11 @@ class DiTBlock(nn.Module):
             h = h * (1 + expand(scale_msa)) + expand(shift_msa)
             h = GQAttention(cfg, name="attn")(h, cos, sin,
                                               deterministic=deterministic)
+        # Landmark for the "attn_out" selective remat policy: saving the
+        # [B, N, H] attention outputs (tiny vs the scores) lets backward
+        # skip re-running attention — the block's most expensive recompute
+        # — while everything else replays (ModelConfig.remat_policy).
+        h = checkpoint_name(h, "attn_out")
         h = expand(gate_msa) * h
         if not deterministic:
             h = _drop_path(h, dp_rate, deterministic, self.make_rng("dropout"))
@@ -645,11 +651,18 @@ class DiT(nn.Module):
         if cfg.remat_policy == "none":
             block = DiTBlock
         else:
-            policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if cfg.remat_policy == "dots"
-                else None  # None = nothing saveable (full recompute)
-            )
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy == "attn_out":
+                # Selective: save only the [B, N, H] attention outputs
+                # (checkpoint_name in DiTBlock) — backward recomputes the
+                # cheap elementwise/MLP chain but never re-runs attention,
+                # at ~N*H extra HBM per block instead of "dots"'s every-
+                # projection footprint.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
+            else:
+                policy = None  # "full": nothing saveable (max recompute)
             block = nn.remat(DiTBlock, static_argnums=(6,), policy=policy)
         mod_axis = nn.broadcast if adaln_mod is None else 0
         ScannedBlocks = nn.scan(

@@ -16,7 +16,7 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 # Training-step multiplier over one forward: backward is 2x forward;
 # rematerialisation replays some of the forward again during backward.
-TRAIN_FLOP_FACTOR = {"none": 3.0, "dots": 3.5, "full": 4.0}
+TRAIN_FLOP_FACTOR = {"none": 3.0, "dots": 3.5, "attn_out": 3.9, "full": 4.0}
 
 
 def dit_forward_flops(cfg, batch: int, frames: int) -> float:

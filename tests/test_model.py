@@ -345,3 +345,34 @@ def test_unrolled_blocks_bit_identical_to_scan():
     o1 = scan.apply({"params": params}, x, t, c)
     o2 = unrolled.apply({"params": params}, x, t, c)
     assert float(jnp.max(jnp.abs(o1 - o2))) == 0.0
+
+
+@pytest.mark.parametrize("policy", ["none", "attn_out", "dots"])
+def test_remat_policies_grads_match_full(policy):
+    """Rematerialisation trades memory for recompute — it must never
+    change values: loss and grads under every policy (incl. the selective
+    "attn_out" saved-landmark policy) equal the "full" baseline."""
+    import dataclasses
+
+    def loss_for(p):
+        cfg = dataclasses.replace(TINY, remat_policy=p)
+        model, params, (x, t, c) = _init(cfg)
+
+        def loss(pp):
+            out = model.apply({"params": pp}, x, t, c,
+                              deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(5)})
+            return jnp.mean(out * out) + jnp.mean(
+                jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b * b), pp, 0.0))
+
+        return jax.value_and_grad(loss)(params)
+
+    l_ref, g_ref = loss_for("full")
+    l_got, g_got = loss_for(policy)
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    for a, b in zip(flat_got, flat_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
