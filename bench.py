@@ -138,6 +138,12 @@ def main():
                     action="store_false")
     ap.add_argument("--e2e-seconds", type=float, default=128.0,
                     help="end-to-end mode: total audio length")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of ONE post-warmup "
+                         "iteration of the EXACT bench program into DIR "
+                         "(summarise with tools/profile_sampler.py "
+                         "--summarize-only DIR); timing proceeds normally "
+                         "afterwards")
     ap.add_argument("--deadline", type=int, default=2700,
                     help="hard wall-clock limit in seconds (the TPU tunnel "
                          "can wedge; better to die loudly than hang)")
@@ -277,6 +283,10 @@ def main():
             return float(sum(float(p.mean()) for p in pieces))
 
         run_e2e(0)  # compile + warmup
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                run_e2e(998)
+            print(f"[bench] trace written to {args.trace}")
         best = float("inf")
         for i in range(args.iters):
             t0 = time.perf_counter()
@@ -303,6 +313,10 @@ def main():
         return float(out.mean())
 
     run(0)  # compile + warmup
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            run(998)
+        print(f"[bench] trace written to {args.trace}")
     best = float("inf")
     for i in range(args.iters):
         t0 = time.perf_counter()

@@ -164,6 +164,29 @@ def _res_unit(p, x, dilation, fused=False):
     return x + y
 
 
+def _res_stage(blk, x):
+    """All three residual units of a decoder block through ONE Pallas
+    kernel (ops/dac_kernels.res_stage_fused): the activation crosses HBM
+    twice per stage instead of six times, and the per-unit pad/slice
+    passes disappear.  Returns None when the shape is ineligible (caller
+    falls back to per-unit kernels)."""
+    from ...ops.dac_kernels import res_stage_fused, res_stage_supported
+
+    b, t, c = x.shape
+    if not res_stage_supported(c, t):
+        return None
+    units = [blk[f"res_{j}"] for j in range(3)]
+    w7s = jnp.stack([u["conv1"]["w"] for u in units])
+    b7s = jnp.stack([u["conv1"]["b"] for u in units])
+    w1s = jnp.stack([u["conv2"]["w"].reshape(c, c) for u in units])
+    b1s = jnp.stack([u["conv2"]["b"] for u in units])
+    a1s = jnp.stack([u["alpha1"] for u in units])
+    a2s = jnp.stack([u["alpha2"] for u in units])
+    interp = jax.default_backend() not in ("tpu",)
+    return res_stage_fused(x, w7s, b7s, w1s, b1s, a1s, a2s,
+                           interpret=interp)
+
+
 def encoder_forward(params: Dict, audio: jax.Array, cfg: DACConfig) -> jax.Array:
     """[B, T, 1] (T a multiple of hop) -> [B, T/hop, latent_dim]."""
     p = params["encoder"]
@@ -237,8 +260,13 @@ def decoder_forward(params: Dict, z: jax.Array, cfg: DACConfig,
             x, blk["up"]["w"], blk["up"]["b"], stride=stride,
             padding=math.ceil(stride / 2), output_padding=stride % 2,
         )
-        for j, dil in enumerate((1, 3, 9)):
-            x = _res_unit(blk[f"res_{j}"], x, dil, fused=fused_res_units)
+        y = _res_stage(blk, x) \
+            if fused_res_units and x.dtype == jnp.float32 else None
+        if y is not None:
+            x = y
+        else:
+            for j, dil in enumerate((1, 3, 9)):
+                x = _res_unit(blk[f"res_{j}"], x, dil, fused=fused_res_units)
     x = snake(x, p["alpha_out"])
     x = conv1d(x, p["conv_out"]["w"], p["conv_out"]["b"], padding=3)
     return jnp.tanh(x)

@@ -106,6 +106,175 @@ def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
     o_ref[0] = x[3 * d: 3 * d + tblk] + y3 + b1_ref[:]
 
 
+# ---------------------------------------------------------------------------
+# Stage-fused variant: all three residual units of a decoder stage chained
+# inside ONE kernel pass
+# ---------------------------------------------------------------------------
+#
+# The decoder runs 3 residual units (dilations 1, 3, 9) back-to-back per
+# upsample stage (model.py:decoder_forward, mirroring the reference dac
+# package).  Per-unit kernels cost 2 HBM round-trips each (6 per stage)
+# plus a whole-tensor jnp.pad and [:t, :c] slice per call — profiled at
+# ~13% of decode on top of the kernels themselves (PERF.md round 4).
+# Chaining the units inside one program makes the stage's activation cross
+# HBM exactly twice total.  Each block recomputes the halo region of its
+# neighbours from the raw input (margins 3*(1+3+9) = 39 rows per side —
+# ~4-8% redundant compute at the tuned block sizes), so block outputs are
+# bit-identical to the unit-by-unit composition.
+
+_STAGE_MARGIN = 39  # 3*d summed over the stage's dilations (1, 3, 9)
+
+
+def _stage_tblk(cp: int) -> int:
+    # Per-channel-width block rows: weights for 3 units (3*8*cp^2 bf16)
+    # plus double-buffered [w8, cp] fp32 windows and transient unit
+    # intermediates must stay inside ~12 MB of VMEM.
+    return {128: 1920, 256: 960, 384: 384}.get(cp, max(256, 245760 // cp))
+
+
+def res_stage_supported(c: int, t: int) -> bool:
+    cp = -(-c // 128) * 128
+    return c <= 384 and t >= _stage_tblk(cp) + 2 * _STAGE_MARGIN
+
+
+def _res_stage_kernel(x_hbm, w7s, b7s, w1s, b1s, a1s, a2s, o_ref, xwin, sem,
+                      *, tblk: int, dils, w8: int, t: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    n = pl.num_programs(1)
+    lin = b * n + i
+
+    def dma(bb, j, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(j * tblk, w8), :], xwin.at[slot], sem.at[slot]
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        dma(0, 0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        dma(b, i + 1, (lin + 1) % 2).start()
+
+    @pl.when((i + 1 == n) & (b + 1 < nb))
+    def _():
+        dma(b + 1, 0, (lin + 1) % 2).start()
+
+    dma(b, i, lin % 2).wait()
+    x = xwin[lin % 2]  # [w8, C] fp32, margins included
+    # Valid-length bookkeeping: rows beyond tblk + 2*_STAGE_MARGIN are
+    # sublane-round junk, consumed by no tap below.
+    length = tblk + 2 * _STAGE_MARGIN
+    off = 0
+    for u, d in enumerate(dils):
+        if u:
+            # Each unit's TRUE input is zero-padded outside [0, t): rows of
+            # the recomputed halo that fall outside the sequence hold
+            # f_prev(0) != 0 (the previous unit's bias response), so they
+            # must be re-zeroed before feeding this unit's taps — otherwise
+            # the first/last blocks diverge from the per-unit composition.
+            g0 = i * tblk - _STAGE_MARGIN + off
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (length, 1), 0) + g0
+            x = jnp.where((gidx >= 0) & (gidx < t), x, 0.0)
+        out_len = length - 6 * d
+        y = _snake(x, a1s[u:u + 1]).astype(jnp.bfloat16)
+        acc = jnp.dot(y[:out_len], w7s[u, 0],
+                      preferred_element_type=jnp.float32)
+        for k in range(1, 7):
+            acc = acc + jnp.dot(y[k * d: k * d + out_len], w7s[u, k],
+                                preferred_element_type=jnp.float32)
+        y2 = _snake(acc + b7s[u:u + 1], a2s[u:u + 1]).astype(jnp.bfloat16)
+        y3 = jnp.dot(y2, w1s[u], preferred_element_type=jnp.float32)
+        x = x[3 * d: 3 * d + out_len] + y3 + b1s[u:u + 1]
+        length = out_len
+        off += 3 * d
+    o_ref[0] = x[:tblk]
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "interpret"))
+def res_stage_fused(x: jax.Array, w7s: jax.Array, b7s: jax.Array,
+                    w1s: jax.Array, b1s: jax.Array,
+                    alpha1s: jax.Array, alpha2s: jax.Array,
+                    dilations: tuple = (1, 3, 9),
+                    interpret: bool = False) -> jax.Array:
+    """Three chained residual units (one decoder stage) in one kernel.
+
+    Args:
+        x: [T, C] or [B, T, C] fp32 activation.
+        w7s: [3, 7, C, C] stacked dilated-conv kernels, b7s: [3, C].
+        w1s: [3, C, C] stacked 1x1 kernels, b1s: [3, C].
+        alpha1s/alpha2s: [3, C] snake parameters.
+    Returns:
+        same shape as x, fp32 — bit-identical to composing
+        :func:`res_unit_fused` over the three units.
+    """
+    assert tuple(dilations) == (1, 3, 9), dilations
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    nb, t, c = x.shape
+    cp = -(-c // 128) * 128
+    if cp != c:
+        e = cp - c
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, e)))
+        w7s = jnp.pad(w7s, ((0, 0), (0, 0), (0, e), (0, e)))
+        w1s = jnp.pad(w1s, ((0, 0), (0, e), (0, e)))
+        b7s = jnp.pad(b7s, ((0, 0), (0, e)))
+        b1s = jnp.pad(b1s, ((0, 0), (0, e)))
+        alpha1s = jnp.pad(alpha1s, ((0, 0), (0, e)), constant_values=1.0)
+        alpha2s = jnp.pad(alpha2s, ((0, 0), (0, e)), constant_values=1.0)
+    tblk = _stage_tblk(cp)
+    w8 = -(-(tblk + 2 * _STAGE_MARGIN) // 8) * 8
+    nblk = -(-t // tblk)
+    xp = jnp.pad(
+        x,
+        ((0, 0),
+         (_STAGE_MARGIN, (nblk - 1) * tblk + w8 - t - _STAGE_MARGIN),
+         (0, 0)),
+    )
+
+    row3 = lambda v: v.astype(jnp.float32)  # [3, cp] rows, sliced per unit
+    kernel = functools.partial(_res_stage_kernel, tblk=tblk,
+                               dils=tuple(dilations), w8=w8, t=t)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, nblk * tblk, cp), jnp.float32),
+        grid=(nb, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((3, 7, cp, cp), lambda b, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp, cp), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, cp), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tblk, cp), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w8, cp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 8 * nb * t * c * c,
+            bytes_accessed=2 * nb * t * c * 4,
+            transcendentals=6 * nb * t * c,
+        ),
+        interpret=interpret,
+    )(xp, w7s.astype(jnp.bfloat16), row3(b7s),
+      w1s.astype(jnp.bfloat16), row3(b1s), row3(alpha1s), row3(alpha2s))
+    out = out[:, :t, :c]
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
 def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
                    w1: jax.Array, b1: jax.Array,

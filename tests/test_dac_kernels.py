@@ -67,6 +67,35 @@ def test_res_unit_fused_batched_matches_per_element():
                                       np.asarray(single))
 
 
+def test_res_stage_fused_matches_unit_composition():
+    """One-kernel stage (3 chained units, dilations 1/3/9) must be
+    bit-identical to composing res_unit_fused — including the sequence
+    edges, where the recomputed halo must re-zero rows outside [0, T)
+    between units (the previous unit's bias response is nonzero there)."""
+    from jatsr_tpu.ops.dac_kernels import (res_stage_fused,
+                                           res_stage_supported,
+                                           res_unit_fused)
+
+    C, T = 128, 4100  # non-multiple of the block size: tail path covered
+    assert res_stage_supported(C, T)
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w7s = jax.random.normal(ks[1], (3, 7, C, C), jnp.float32) * 0.05
+    b7s = jax.random.normal(ks[2], (3, C), jnp.float32) * 0.1
+    w1s = jax.random.normal(ks[3], (3, C, C), jnp.float32) * 0.05
+    b1s = jax.random.normal(ks[4], (3, C), jnp.float32) * 0.1
+    a1s = jnp.abs(jax.random.normal(ks[5], (3, C))) + 0.5
+    a2s = jnp.abs(jax.random.normal(ks[6], (3, C))) + 0.5
+
+    got = res_stage_fused(x, w7s, b7s, w1s, b1s, a1s, a2s, interpret=True)
+    want = x
+    for u, d in enumerate((1, 3, 9)):
+        want = res_unit_fused(want, w7s[u], b7s[u], w1s[u].reshape(1, C, C),
+                              b1s[u], a1s[u], a2s[u], dilation=d,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_plus_bf16_decode_warns():
     """ADVICE r3: --fused-decode --bf16-decode silently fell back to the
     unfused path; the constructor must flag the interaction."""
