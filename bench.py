@@ -74,18 +74,23 @@ def main():
                          "<= 0.01 vs fp32 scores, PERF.md round 2; "
                          "--scores-dtype float32 restores the parity path)")
     ap.add_argument("--cfg-interval", type=float, nargs=2,
-                    default=(0.1, 0.75), metavar=("LO", "HI"),
-                    help="apply CFG only for t in [LO, HI) of the schedule. "
-                         "Default (0.1, 0.75) is the RECOMMENDED serving "
-                         "mode: +12%% throughput over (0.05, 0.9) AND the "
-                         "best held-out metrics in the round-3 window sweep "
-                         "(LSD -0.41 dB vs always-guided — guidance at "
-                         "extreme noise levels hurts; PERF.md round 3).  "
-                         "--no-cfg-interval restores the reference's "
-                         "always-guided schedule.")
+                    default=(0.0, 1.0), metavar=("LO", "HI"),
+                    help="apply CFG only for t in [LO, HI) of the schedule; "
+                         "unguided steps run at batch B.  Default (0.0, "
+                         "1.0) = the reference's always-guided schedule: "
+                         "the round-4 probe gate (54-song training set, 6 "
+                         "held-out songs x 3 sampler seeds, "
+                         "tools/probe_gate_r4.py) measured the round-3 "
+                         "(0.1, 0.75) window at +0.28 dB LSD / +0.08 Mel "
+                         "L1 vs always-guided — the round-3 sweep's "
+                         "opposite verdict came from a 12-song probe and "
+                         "did not replicate, so the bench headline no "
+                         "longer rides a schedule change (PERF.md round "
+                         "4).  Pass an explicit window for the fast mode.")
     ap.add_argument("--no-cfg-interval", dest="cfg_interval",
                     action="store_const", const=(0.0, 1.0),
-                    help="reference-parity guidance: CFG on every step")
+                    help="reference-parity guidance: CFG on every step "
+                         "(already the default since round 4)")
     ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf", "sigmoid"],
                     help="in-kernel GELU form for the fused MLP (tanh "
                          "default, quality-gated; erf = exact form)")

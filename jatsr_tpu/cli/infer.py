@@ -72,15 +72,23 @@ def main(argv=None):
                     help="unroll the scanned block stack (serving: "
                          "per-layer weight slices become static views; "
                          "costs compile time)")
-    ap.add_argument("--fused-decode", action="store_true",
+    ap.add_argument("--fused-decode", action="store_true", default=True,
                     help="fuse the decoder tail's residual units into "
                          "single Pallas passes (ops/dac_kernels.py): "
                          "266.6 -> 220.1 ms per 32 s segment on a v5e.  "
-                         "Opt-in: the in-kernel bf16 tap dots are looser "
-                         "than XLA's conv numerics (bf16-resolution "
-                         "parity, tests/test_dac_kernels.py).  fp32-only: "
+                         "DEFAULT since round 4: the decoded-metric gate "
+                         "measured +0.000 dB LSD / +0.000 Mel L1 fused vs "
+                         "unfused on 6 held-out songs x 3 seeds "
+                         "(tools/probe_gate_r4.py, PERF.md round 4); the "
+                         "in-kernel bf16 tap dots also carry a "
+                         "bf16-resolution numeric parity test "
+                         "(tests/test_dac_kernels.py).  fp32-only: "
                          "combined with --bf16-decode the decoder falls "
                          "back to the unfused conv path (warned)")
+    ap.add_argument("--no-fused-decode", dest="fused_decode",
+                    action="store_false",
+                    help="decode through the plain XLA conv path "
+                         "(bit-parity reference path)")
     ap.add_argument("--bf16-decode", action="store_true",
                     help="run the DAC decoder conv stack in bf16.  NOTE: "
                          "measured 34%% SLOWER than fp32 on device time "

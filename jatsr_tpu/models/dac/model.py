@@ -144,13 +144,14 @@ def _res_unit(p, x, dilation, fused=False):
     im2col materialisation and relayout reshapes — the profiled decode
     bottleneck at the post-upsample tail stages."""
     if fused and x.dtype == jnp.float32:
-        from ...ops.dac_kernels import res_unit_fused, res_unit_supported
+        from ...ops import dac_kernels as dk
 
         b, t, c = x.shape
-        if res_unit_supported(c, t, dilation):
-            interp = jax.default_backend() not in ("tpu",)
+        interp = jax.default_backend() not in ("tpu",)
+        if dk.res_unit_supported(c, t, dilation) and \
+                (not interp or dk.ALLOW_INTERPRET_DISPATCH):
             # One pallas_call: the batch dim rides the kernel grid.
-            return res_unit_fused(
+            return dk.res_unit_fused(
                 x, p["conv1"]["w"], p["conv1"]["b"],
                 p["conv2"]["w"], p["conv2"]["b"],
                 p["alpha1"], p["alpha2"],
@@ -170,10 +171,12 @@ def _res_stage(blk, x):
     twice per stage instead of six times, and the per-unit pad/slice
     passes disappear.  Returns None when the shape is ineligible (caller
     falls back to per-unit kernels)."""
-    from ...ops.dac_kernels import res_stage_fused, res_stage_supported
+    from ...ops import dac_kernels as dk
 
     b, t, c = x.shape
-    if not res_stage_supported(c, t):
+    interp = jax.default_backend() not in ("tpu",)
+    if not dk.res_stage_supported(c, t) or \
+            (interp and not dk.ALLOW_INTERPRET_DISPATCH):
         return None
     units = [blk[f"res_{j}"] for j in range(3)]
     w7s = jnp.stack([u["conv1"]["w"] for u in units])
@@ -182,9 +185,8 @@ def _res_stage(blk, x):
     b1s = jnp.stack([u["conv2"]["b"] for u in units])
     a1s = jnp.stack([u["alpha1"] for u in units])
     a2s = jnp.stack([u["alpha2"] for u in units])
-    interp = jax.default_backend() not in ("tpu",)
-    return res_stage_fused(x, w7s, b7s, w1s, b1s, a1s, a2s,
-                           interpret=interp)
+    return dk.res_stage_fused(x, w7s, b7s, w1s, b1s, a1s, a2s,
+                              interpret=interp)
 
 
 def encoder_forward(params: Dict, audio: jax.Array, cfg: DACConfig) -> jax.Array:

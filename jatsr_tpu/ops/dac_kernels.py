@@ -41,6 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 # double-buffered, the output block is pipelined by Mosaic).
 _ROWS_BUDGET = 245760  # tblk * C target (294912 OOM'd VMEM by 36K at C=256)
 
+# Non-TPU backends can only run these kernels under Mosaic interpret
+# mode, which is orders of magnitude slower than XLA's conv path — far
+# too slow for a decode that is now the serving DEFAULT.  The model
+# dispatch (models/dac/model.py) therefore falls back to the plain conv
+# path off-TPU unless a test flips this to exercise interpret-mode
+# parity of the full decoder dispatch.
+ALLOW_INTERPRET_DISPATCH = False
+
 
 def _tblk_for(c: int) -> int:
     t = max(512, _ROWS_BUDGET // c)

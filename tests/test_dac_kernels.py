@@ -109,12 +109,18 @@ def test_fused_plus_bf16_decode_warns():
                         fused_res_units=True)
 
 
-def test_decoder_fused_path_matches_unfused():
+def test_decoder_fused_path_matches_unfused(monkeypatch):
     """End-to-end decoder with fused res-units vs the plain path, on a
-    sequence long enough to hit kernel eligibility in the tail stages."""
+    sequence long enough to hit kernel eligibility in the tail stages.
+
+    Off-TPU the model dispatch skips the Pallas kernels (interpret mode
+    is far too slow for the now-default serving path) — force it here so
+    this stays a real fused-vs-unfused comparison on CPU."""
     from jatsr_tpu.models.dac import DAC
     from jatsr_tpu.models.dac.model import decoder_forward
+    from jatsr_tpu.ops import dac_kernels
 
+    monkeypatch.setattr(dac_kernels, "ALLOW_INTERPRET_DISPATCH", True)
     codec = DAC.random_init(0)
     # 2 s at the production geometry: the last two stages (C=192/96)
     # clear the block-size eligibility threshold.
