@@ -91,6 +91,13 @@ def main():
                     action="store_const", const=(0.0, 1.0),
                     help="reference-parity guidance: CFG on every step "
                          "(already the default since round 4)")
+    ap.add_argument("--cfg-batching", default="doubled",
+                    choices=["doubled", "split"],
+                    help="guided-step shape: one batch-2B forward "
+                         "(doubled, the reference's) or two batch-B "
+                         "forwards (split — same math, and the serving "
+                         "program is more efficient per chunk at batch 8 "
+                         "than 16 on a v5e; see PERF.md round 4)")
     ap.add_argument("--gelu", default="tanh", choices=["tanh", "erf", "sigmoid"],
                     help="in-kernel GELU form for the fused MLP (tanh "
                          "default, quality-gated; erf = exact form)")
@@ -223,7 +230,8 @@ def main():
         lambda p, z, t, c, mod=None: model.apply({"params": p}, z, t, c,
                                                  adaln_mod=mod),
         SamplerConfig(num_steps=args.steps, cfg_scale=args.cfg_scale,
-                      cfg_interval=tuple(args.cfg_interval)),
+                      cfg_interval=tuple(args.cfg_interval),
+                      cfg_batching=args.cfg_batching),
         params=params,
         # hoisted-AdaLN serving path: per-step modulation tables computed
         # once outside the ODE loop (models/dit.py:adaln_tables)
@@ -265,7 +273,8 @@ def main():
             sampler_cfg=dataclasses.replace(
                 SamplerConfig(num_steps=args.steps,
                               cfg_scale=args.cfg_scale,
-                              cfg_interval=tuple(args.cfg_interval)),
+                              cfg_interval=tuple(args.cfg_interval),
+                              cfg_batching=args.cfg_batching),
                 **({"chunk_duration": T * 512 / 44100,
                     "overlap_duration": 16 * 512 / 44100}
                    if args.quick else {}),

@@ -313,6 +313,16 @@ class SamplerConfig:
     # paid only for t in [lo, hi); outside, the conditional branch alone
     # drives the ODE.  (0, 1) = reference parity (always guided).
     cfg_interval: Tuple[float, float] = (0.0, 1.0)
+    # How a guided step evaluates the cond/uncond pair:
+    #   "doubled" — one forward on batch 2B (the reference's shape,
+    #               infer_test_v3m2.py:154-156);
+    #   "split"   — two sequential forwards on batch B.  Same math, same
+    #               per-row activation quantisation (batch-independent);
+    #               only XLA dot tiling differs.  On a v5e the serving
+    #               program is measurably MORE efficient per chunk at
+    #               batch 8 than at 16, so split wins for the
+    #               always-guided schedule (PERF.md round 4).
+    cfg_batching: str = "doubled"
     # Chunked long-audio inference (ref infer_test_v3m2.py:339-362).
     chunk_duration: float = 16.0
     overlap_duration: float = 2.0

@@ -181,3 +181,31 @@ def test_cfg_interval_zero_width_is_uncond():
     s = FlowSampler(f, SamplerConfig(num_steps=8, cfg_interval=(0.0, 0.0)))
     lim = s(jax.random.PRNGKey(2), cond, cfg_scale=3.0)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(lim), atol=1e-6)
+
+
+def test_cfg_split_matches_doubled():
+    """cfg_batching="split" (two batch-B forwards) must reproduce the
+    doubled-batch guided sampler exactly on fp32 CPU: same math, only the
+    batch shape of the model calls differs (PERF.md round 4).  Uses a
+    nonlinear batch-independent model so any cond/uncond mix-up or
+    batch-concat mistake would change the output."""
+    def f(z, t, c):
+        return jnp.tanh(z) * 0.1 + c * (0.5 + 0.5 * t[:, None, None])
+
+    cond = jax.random.normal(jax.random.PRNGKey(11), (3, 8, 4))
+    key = jax.random.PRNGKey(12)
+    a = FlowSampler(f, SamplerConfig(num_steps=12))(key, cond, cfg_scale=3.0)
+    b = FlowSampler(f, SamplerConfig(num_steps=12, cfg_batching="split"))(
+        key, cond, cfg_scale=3.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
+    # Heun + interval window exercise the other guided-body variants.
+    c1 = FlowSampler(f, SamplerConfig(num_steps=10, solver="heun",
+                                      cfg_interval=(0.1, 0.8)))(
+        key, cond, cfg_scale=2.0)
+    c2 = FlowSampler(f, SamplerConfig(num_steps=10, solver="heun",
+                                      cfg_interval=(0.1, 0.8),
+                                      cfg_batching="split"))(
+        key, cond, cfg_scale=2.0)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=1e-6, atol=1e-6)
