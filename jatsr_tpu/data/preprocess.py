@@ -288,7 +288,7 @@ class PreprocessPipeline:
 
     def run(self, source_dirs: Sequence[str], stats_interval: int = 50,
             verbose: bool = True, num_shards: int = 1,
-            shard_index: int = 0) -> Dict:
+            shard_index: int = 0, prefetch: bool = True) -> Dict:
         """``num_shards``/``shard_index`` partition the task list for
         multi-host preprocessing (the reference's one-worker-per-GPU pool,
         prepare_dataset_v5.py:326-341, scaled across machines; each host
@@ -324,12 +324,23 @@ class PreprocessPipeline:
                     q.put((path, split, None, e))
             q.put(None)
 
-        Thread(target=producer, daemon=True).start()
+        def serial():
+            # prefetch=False: the round-3 serial shape (host prepare and
+            # device encode back-to-back) — kept for the overlap A/B
+            # measurement (tools/preprocess_bench.py) and as a fallback.
+            for path, split in todo:
+                try:
+                    yield path, split, self._prepare_song(path), None
+                except Exception as e:  # noqa: BLE001
+                    yield path, split, None, e
+
+        if prefetch:
+            Thread(target=producer, daemon=True).start()
+            items = iter(q.get, None)
+        else:
+            items = serial()
         i = 0
-        while True:
-            item = q.get()
-            if item is None:
-                break
+        for item in items:
             path, split, prepared, err = item
             try:
                 if err is not None:
