@@ -42,3 +42,13 @@ echo "compare $W/eval_parity/report.json vs $W/eval_stack/report.json"
 # runs at PRODUCTION scale (766 M) because it needs no training.
 timeout 5400 python tools/fidelity_gate.py --preset v3 --batch 2 \
   --steps 50 --cfg-scale 3.0 --decode | tee "$W/fidelity_766m.jsonl"
+
+# Round-4 addition: the schedule-knob gate matrix on the 54-song probe
+# (see tools/probe_gate_r4.py; reports land in reports/gates_r4/ form).
+# Requires the probe checkpoint + data (built by the round-4 session:
+# 60 songs via make_synthetic_songs --n 60, prepare_dataset, then
+# cli.train --preset v1 --epochs 80 --cfg-dropout 0.1).  Run it when a
+# schedule-changing knob (steps / solver / cfg-interval / decode kernel)
+# wants a new default:
+#   python tools/probe_gate_r4.py --run-dir checkpoints/v1/probe_r4 \
+#       --data-dir /tmp/probe/data --songs 6 --seeds 0 1 2
