@@ -67,16 +67,21 @@ class ModelConfig:
     param_dtype: str = "float32"
     # Attention backend: "xla" (einsum, default) or "pallas" (fused kernel).
     attention_impl: str = "xla"
-    # TRAINING attention backend: "xla" (einsum — materialises the fp32
-    # [B, Hq, N, N] scores in HBM in forward, remat-recompute and backward,
-    # and draws the attention-dropout mask over the same shape with the
-    # host-keyed PRNG) or "flash" (ops/attention_train.py: fused Pallas
-    # forward + hand-written VJP; every score-sized tensor stays in VMEM
-    # and dropout is an in-kernel counter-hash).  Numerics are NOT
-    # bit-identical to the einsum path (same class of difference as the
-    # serving flash kernel) — gate with a loss-curve-parity run before
-    # defaulting.
-    train_attention_impl: str = "xla"
+    # TRAINING attention backend: "flash" (DEFAULT since round 4 —
+    # ops/attention_train.py: fused Pallas forward + hand-written VJP;
+    # every score-sized tensor stays in VMEM and dropout is an in-kernel
+    # counter-hash; 766 M step 0.449 -> 0.307 s, PERF.md round 4) or
+    # "xla" (einsum — materialises the fp32 [B, Hq, N, N] scores in HBM
+    # in forward, remat-recompute and backward, and draws the
+    # attention-dropout mask over the same shape with the host-keyed
+    # PRNG).  Numerics are not bit-identical to the einsum path (same
+    # class of difference as the serving flash kernel); the default is
+    # gated by exact per-kernel gradient parity tests
+    # (tests/test_attention_train.py) AND a seed-matched 100-step
+    # loss-curve run on real data (tools/train_attn_gate.py: max rel
+    # loss diff 0.0000%).  Off-TPU the model falls back to "xla"
+    # automatically (interpret-mode Pallas is too slow to train with).
+    train_attention_impl: str = "flash"
     # Storage dtype of the materialised attention-score matrix on the XLA
     # path.  "float32" = exact (default).  "bfloat16" halves the HBM
     # round-trip of the [B, H, N, N] scores (the dominant attention cost at

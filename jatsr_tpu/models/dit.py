@@ -213,10 +213,12 @@ class GQAttention(nn.Module):
         # N, N] tensor ever reaches HBM (ops/attention_train.py).
         if (not deterministic and cfg.train_attention_impl == "flash"
                 and cfg.pos_embed == "rope"):
+            from ..ops import attention_train as at
             from ..ops.attention import flash_supported
-            from ..ops.attention_train import gqa_attention_train
 
-            if flash_supported(N, Hq, Hkv, D):
+            interp = jax.default_backend() != "tpu"
+            if flash_supported(N, Hq, Hkv, D) and \
+                    (not interp or at.ALLOW_INTERPRET_DISPATCH):
                 if cfg.dropout > 0.0:
                     # Fresh int32 stream id per (step, layer): make_rng
                     # folds in the scan index and the step-level fold_in
@@ -226,11 +228,11 @@ class GQAttention(nn.Module):
                                         jnp.uint32), jnp.int32)
                 else:
                     seed = jnp.zeros((1,), jnp.int32)
-                out = gqa_attention_train(
+                out = at.gqa_attention_train(
                     q.reshape(B, N, Hq * D), k.reshape(B, N, Hkv * D),
                     v.reshape(B, N, Hkv * D), seed, Hq, Hkv,
                     dropout_rate=cfg.dropout,
-                    interpret=jax.default_backend() != "tpu",
+                    interpret=interp,
                 )
                 return dense(cfg.hidden_size, "out_proj")(out)
             # else: fall through to the XLA einsum path

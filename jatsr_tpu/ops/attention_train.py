@@ -45,6 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .attention import _round_up, flash_supported  # noqa: F401
 
+# train_attention_impl="flash" is the TRAINING DEFAULT (gated by a
+# 100-step loss-curve parity run, tools/train_attn_gate.py: max rel loss
+# diff 0.0000% vs the XLA path).  Off-TPU the kernel only runs under
+# Mosaic interpret mode — far too slow for real training — so the model
+# dispatch (models/dit.py) falls back to the XLA einsum there unless a
+# test flips this to exercise interpret-mode parity of the full
+# training path.  (Same pattern as ops/dac_kernels.)
+ALLOW_INTERPRET_DISPATCH = False
+
 _GOLD = 0x9E3779B9  # 2^32 / golden ratio — classic stream separator
 
 

@@ -188,14 +188,21 @@ def test_bf16_close_to_fp32():
                                np.asarray(want), atol=3e-2, rtol=3e-2)
 
 
-def test_dit_grads_flash_train_vs_xla():
+def test_dit_grads_flash_train_vs_xla(monkeypatch):
     """Model-level: the flash training path (under nn.remat + nn.scan)
     produces gradients close to the XLA einsum path at dropout=0, and the
-    dropout>0 path runs and is finite."""
+    dropout>0 path runs and is finite.
+
+    Off-TPU the model dispatch falls back to the XLA einsum (interpret
+    mode is too slow for real training now that flash is the default) —
+    force the kernel path here so the comparison is real on CPU."""
     import dataclasses
 
     from jatsr_tpu.configs import get_preset
     from jatsr_tpu.models import DiT
+    from jatsr_tpu.ops import attention_train
+
+    monkeypatch.setattr(attention_train, "ALLOW_INTERPRET_DISPATCH", True)
 
     base = dataclasses.replace(
         get_preset("tiny").model, dropout=0.0, drop_path_rate=0.0)
