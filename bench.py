@@ -28,8 +28,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + few steps (smoke test, CPU-safe)")
-    ap.add_argument("--batch", type=int, default=8,
-                    help="chunks sampled per sampler call")
+    ap.add_argument("--batch", type=int, default=12,
+                    help="chunks sampled per sampler call.  Default 12 — "
+                         "the round-4 parity B-sweep optimum (B=4/6/8/12/"
+                         "16 -> 87.2/92.8/91.2/93.3/92.1 audio-sec/s; "
+                         "PERF.md round 4); batch is quality-neutral")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--cfg-scale", type=float, default=3.0)
     ap.add_argument("--seconds-per-chunk", type=float, default=16.0)
