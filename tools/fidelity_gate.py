@@ -61,6 +61,11 @@ def build_configs(base):
         ("full_stack+prologue+sigmoid_gelu",
          dataclasses.replace(stack, fused_prologue=True, align_n=True,
                              gelu_impl="sigmoid")),
+        # Round 4: +0.7% serving throughput measured at B=12; needs this
+        # gate before it can join the bench defaults.
+        ("full_stack+prologue+quantize_head",
+         dataclasses.replace(stack, fused_prologue=True, align_n=True,
+                             quantize_head=True)),
     ]
 
 
