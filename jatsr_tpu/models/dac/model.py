@@ -165,6 +165,25 @@ def _res_unit(p, x, dilation, fused=False):
     return x + y
 
 
+def _snake_upsample(blk, x, stride):
+    """snake -> conv_transpose through the polyphase Pallas kernel
+    (ops/dac_kernels.snake_conv_transpose_fused) when the stage is
+    eligible; None falls back to the XLA dilated-conv lowering (which
+    streams zero-stuffed [T*s, Cin] tensors per tap — PERF.md round 4)."""
+    from ...ops import dac_kernels as dk
+
+    b, t, c = x.shape
+    w = blk["up"]["w"]
+    interp = jax.default_backend() not in ("tpu",)
+    if not dk.conv_transpose_supported(c, w.shape[2], stride, w.shape[0], t) \
+            or (interp and not dk.ALLOW_INTERPRET_DISPATCH):
+        return None
+    return dk.snake_conv_transpose_fused(
+        x, w, blk["up"]["b"], blk["alpha"], stride=stride,
+        padding=math.ceil(stride / 2), output_padding=stride % 2,
+        interpret=interp)
+
+
 def _res_stage(blk, x):
     """All three residual units of a decoder block through ONE Pallas
     kernel (ops/dac_kernels.res_stage_fused): the activation crosses HBM
@@ -257,11 +276,16 @@ def decoder_forward(params: Dict, z: jax.Array, cfg: DACConfig,
     x = conv1d(z, p["conv_in"]["w"], p["conv_in"]["b"], padding=3)
     for i, stride in enumerate(cfg.decoder_rates):
         blk = p[f"block_{i}"]
-        x = snake(x, blk["alpha"])
-        x = conv1d_transpose(
-            x, blk["up"]["w"], blk["up"]["b"], stride=stride,
-            padding=math.ceil(stride / 2), output_padding=stride % 2,
-        )
+        up = _snake_upsample(blk, x, stride) if fused_res_units and \
+            x.dtype == jnp.float32 else None
+        if up is not None:
+            x = up
+        else:
+            x = snake(x, blk["alpha"])
+            x = conv1d_transpose(
+                x, blk["up"]["w"], blk["up"]["b"], stride=stride,
+                padding=math.ceil(stride / 2), output_padding=stride % 2,
+            )
         y = _res_stage(blk, x) \
             if fused_res_units and x.dtype == jnp.float32 else None
         if y is not None:

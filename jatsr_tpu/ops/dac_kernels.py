@@ -62,6 +62,10 @@ def res_unit_supported(c: int, t: int, dilation: int) -> bool:
     return c <= 384 and t >= _tblk_for(cp) + 6 * dilation
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _snake(x, a):
     return x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
 
@@ -366,4 +370,134 @@ def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
         interpret=interpret,
     )(xp, w7b, row(b7), w1b, row(b1), row(alpha1), row(alpha2))
     out = out[:, :t, :c]
+    return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Fused snake -> conv_transpose (polyphase) for the decoder upsample stages.
+#
+# XLA lowers conv1d_transpose (models/dac/layers.py:conv1d_transpose) as a
+# conv over the stride-dilated input: the multiply-add fusions stream a
+# zero-stuffed [T*s, Cin] tensor per tap — profiled at ~42% of the fused
+# decode's device time (PERF.md round 4), almost all of it HBM traffic over
+# zeros.  Polyphase decomposition kills the zero-stuffing: with K = 2s taps
+# (every DAC stage), output index m = t*s - pad + k receives EXACTLY two
+# taps, k = p and k = p + s where p = (m + pad) % s, t = (m + pad) // s.
+# Defining the un-shifted "flat" sequence
+#
+#     flat[t*s + p] = snake(x[t]) @ w[p]  +  snake(x[t-1]) @ w[p + s]
+#
+# the true output is out[m] = flat[m + pad] + bias (a row slice).  Packing
+# the s phase results as column blocks of one [Tblk, s*Cout] tile makes the
+# row-major reshape [T, s*Cout] -> [T*s, Cout] FREE, and the whole stage
+# becomes two resident-weight MXU dots per row block:
+#
+#     flat_tile = snake(x_blk) @ Wp  +  snake(x_shift_blk) @ Ws
+#
+# with Wp[c, p*Cout+o] = w[p, c, o], Ws likewise for taps s..2s-1, and
+# x_shift the one-row-right-shifted input (materialised once in XLA — one
+# [T, Cin] copy instead of per-tap dilated streams).  The snake activation
+# rides the VPU in front of each dot, so the stage reads the activation
+# from HBM twice and writes flat once.  Ref decode workload:
+# infer_test_v3m2.py:409-418.
+_TBLK_TR = {768: 96, 384: 256, 192: 512}  # per-Cin row block (VMEM budget)
+
+
+def conv_transpose_supported(c_in: int, c_out: int, stride: int,
+                             k: int, t: int) -> bool:
+    """Stages where the polyphase kernel engages: K=2s (all DAC stages),
+    resident weights fit VMEM (Cin <= 768), and T fills a row block."""
+    return (k == 2 * stride and c_in in _TBLK_TR
+            and t >= _TBLK_TR[c_in])
+
+
+def _snake_tr_kernel(x_ref, xs_ref, wp_ref, ws_ref, a_ref, b_ref, o_ref):
+    a = a_ref[0]
+    y = _snake(x_ref[0].astype(jnp.float32), a)
+    yp = _snake(xs_ref[0].astype(jnp.float32), a)
+    acc = jnp.dot(y.astype(jnp.bfloat16), wp_ref[...],
+                  preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(yp.astype(jnp.bfloat16), ws_ref[...],
+                        preferred_element_type=jnp.float32)
+    o_ref[0] = acc + b_ref[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stride", "padding", "output_padding",
+                                    "interpret"))
+def snake_conv_transpose_fused(x, w, b, alpha, *, stride: int,
+                               padding: int, output_padding: int = 0,
+                               interpret: bool = False):
+    """snake(x) -> conv_transpose in one Pallas pass.
+
+    Args:
+        x: [B, T, Cin] fp32 (or [T, Cin]).
+        w: [K, Cin, Cout] transpose-conv weights (K = 2*stride).
+        b: [Cout] bias.  alpha: [Cin] snake parameter.
+    Returns [B, (T-1)*stride - 2*padding + K + output_padding, Cout].
+    """
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    bsz, t, ci = x.shape
+    k, _, co = w.shape
+    s = stride
+    assert k == 2 * s, (k, s)
+    tblk = _TBLK_TR[ci]
+    cop = _round_up(co, 128)
+    m_out = (t - 1) * s - 2 * padding + k + output_padding
+
+    # One-row-right shift (x_shift[t] = x[t-1], x_shift[0] = 0): a single
+    # XLA copy of the activation replaces the per-tap dilated streams.
+    # Both operands carry t+1 meaningful rows — flat[t*s + p] still takes
+    # x[t-1] @ w[p+s] (the final partial output window) even though x[t]
+    # itself is past the sequence.
+    xs = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))
+    tp = _round_up(t + 1, tblk)
+    # snake(0) = 0, so zero-padded rows produce flat rows that the final
+    # slice drops (or, for row t, contribute exactly the true boundary).
+    x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    xs = jnp.pad(xs, ((0, 0), (0, tp - t - 1), (0, 0)))
+    nblk = tp // tblk
+
+    # Wp[c, p*cop + o] = w[p, c, o]; Ws from taps s..2s-1.  Zero-padded
+    # output channels are exact (sliced away after the flat reshape).
+    wpad = jnp.pad(w.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, cop - co)))
+    wp = wpad[:s].transpose(1, 0, 2).reshape(ci, s * cop)
+    ws = wpad[s:].transpose(1, 0, 2).reshape(ci, s * cop)
+    brow = jnp.tile(jnp.pad(b.astype(jnp.float32), (0, cop - co)), (s,))
+
+    flat = pl.pallas_call(
+        _snake_tr_kernel,
+        grid=(bsz, nblk),
+        in_specs=[
+            pl.BlockSpec((1, tblk, ci), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tblk, ci), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, s * cop), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ci, s * cop), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s * cop), lambda bb, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tblk, s * cop), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, s * cop), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bsz * tp * ci * s * cop,
+            bytes_accessed=bsz * tp * (2 * ci + s * cop) * 4,
+            transcendentals=2 * bsz * tp * ci,
+        ),
+        interpret=interpret,
+    )(x, xs, wp, ws, alpha.astype(jnp.float32)[None], brow[None])
+
+    # Free reshape ([tp, s*cop] rows are already (t, p)-major), then one
+    # slice applies the -pad row shift and drops channel padding.
+    flat = flat.reshape(bsz, tp * s, cop)
+    out = jax.lax.dynamic_slice(
+        flat, (0, padding, 0), (bsz, m_out, cop))[..., :co]
     return out[0] if squeeze else out

@@ -131,3 +131,36 @@ def test_decoder_fused_path_matches_unfused(monkeypatch):
     assert got.shape == want.shape
     err = float(jnp.max(jnp.abs(got - want)))
     assert err < 5e-2, err
+
+
+def test_snake_conv_transpose_fused_matches_layers(monkeypatch):
+    """Polyphase snake->conv_transpose kernel vs snake + conv1d_transpose
+    at every decoder-stage geometry (Cin 192/384/768, strides 2/4/8).
+    Block sizes are shrunk so interpret mode stays fast; the production
+    sizes only change the grid, not the per-block math."""
+    import math
+
+    from jatsr_tpu.models.dac.layers import conv1d_transpose, snake
+    from jatsr_tpu.ops import dac_kernels as dk
+
+    monkeypatch.setattr(dk, "_TBLK_TR", {192: 64, 384: 64, 768: 64})
+    for (ci, co, s, T) in [(192, 96, 2, 150), (384, 192, 4, 130),
+                           (768, 384, 8, 65)]:
+        k = 2 * s
+        pad, op = math.ceil(s / 2), s % 2
+        x = jax.random.normal(jax.random.PRNGKey(ci), (2, T, ci),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, ci, co),
+                              jnp.float32) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(2), (co,), jnp.float32)
+        a = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (ci,))) + 0.5
+        assert dk.conv_transpose_supported(ci, co, s, k, T)
+        got = dk.snake_conv_transpose_fused(
+            x, w, b, a, stride=s, padding=pad, output_padding=op,
+            interpret=True)
+        want = conv1d_transpose(snake(x, a), w, b, stride=s, padding=pad,
+                                output_padding=op)
+        assert got.shape == want.shape
+        err = float(jnp.max(jnp.abs(got - want)))
+        rel = err / float(jnp.max(jnp.abs(want)))
+        assert rel < 2e-2, (ci, rel)
