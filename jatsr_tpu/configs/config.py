@@ -132,6 +132,12 @@ class ModelConfig:
     # MXU rate; both dots underfill the lanes at D=64).  q/k/softmax rows
     # quantised per row, v per column — scales factor out exactly.
     flash_int8_qk: bool = False
+    # flash v3.5: defer each head's value dot one head-loop iteration so
+    # the softmax epilogue (the round-3 profile's dominant non-dot cost)
+    # is issued between two MXU dots it has no dependency on — Mosaic can
+    # hide the VPU work under the MXU stream (VERDICT r4 #1).  Identical
+    # math and VMEM footprint; measure before defaulting.
+    flash_pipeline_v: bool = False
     # Pad the patch count N to a sublane multiple (345 -> 352) on the flash
     # serving path so [B, N, H] <-> [B*N, H] merges are free bitcasts.
     # Measured a WASH at v3 geometry (PERF.md round 2) — opt-in.

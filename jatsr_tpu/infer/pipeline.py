@@ -86,6 +86,21 @@ def crossfade_chunks_jnp(chunks, overlap_frames: int):
     return result
 
 
+def split_serve_devices(devices=None, n_decode: int = 1):
+    """Partition devices into (sampler_devices, decode_devices) for the
+    split multi-chip serving schedule: build the sampler mesh over the
+    first group (``make_mesh(..., devices=sampler_devices)``) and hand the
+    second to ``InferencePipeline(decode_devices=...)``.  With disjoint
+    device sets the async runtime overlaps group *i*'s decodes with group
+    *i+1*'s sampling (VERDICT r4 #5)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if not 0 < n_decode < len(devices):
+        raise ValueError(
+            f"n_decode={n_decode} must leave >=1 sampler device of "
+            f"{len(devices)}")
+    return devices[:-n_decode], devices[-n_decode:]
+
+
 class InferencePipeline:
     """LR latent / LR audio -> generated HR audio at 44.1 kHz."""
 
@@ -99,10 +114,22 @@ class InferencePipeline:
         data_sample_rate: int = 44100,
         hop_length: int = 512,
         mesh=None,
+        decode_devices=None,
     ):
         """``mesh``: optional (data, model) device mesh — chunk batches are
         sharded over ``data`` and params placed per the TP rules, so one
-        sampler call data-parallelises across a v5e-8 style slice."""
+        sampler call data-parallelises across a v5e-8 style slice.
+
+        ``decode_devices``: optional list of devices RESERVED for DAC
+        decode (multi-chip serving scheduling, VERDICT r4 #5).  Decode
+        segments are placed round-robin on these devices with per-device
+        decoder-weight copies; because their device set is disjoint from
+        the sampler mesh, the async XLA runtime executes group *i*'s
+        decodes WHILE group *i+1* samples — per-chip throughput approaches
+        min(sampler, decode) instead of the serial composition
+        1/(1/sampler + 1/decode).  Pass a mesh built over the REMAINING
+        devices (``split_serve_devices``).  Numerics are placement-
+        invariant, so outputs are exactly the single-device results."""
         self.model = model
         self.norm = normalizer
         self.codec = codec
@@ -110,6 +137,9 @@ class InferencePipeline:
         self.sr = data_sample_rate
         self.hop = hop_length
         self.mesh = mesh
+        self.decode_devices = list(decode_devices) if decode_devices else None
+        self._decode_params_by_dev = {}
+        self._decode_rr = 0
         if mesh is not None:
             from ..parallel import batch_sharding, param_shardings
 
@@ -249,6 +279,21 @@ class InferencePipeline:
         return self.super_resolve_latent_to_audio(
             lr_latent, key, num_steps, cfg_scale, max_batch=max_batch)
 
+    def _decode_call(self, batch) -> jax.Array:
+        """[S, L, C] -> [S, L*hop, 1] decode, on the next round-robin
+        decode device when ``decode_devices`` is set (the jitted decoder
+        follows its committed inputs, so each device compiles once and
+        disjoint-device programs run concurrently), else in place."""
+        if self.decode_devices is None:
+            return self.codec.decode(batch)
+        dev = self.decode_devices[self._decode_rr % len(self.decode_devices)]
+        self._decode_rr += 1
+        if dev not in self._decode_params_by_dev:
+            self._decode_params_by_dev[dev] = jax.device_put(
+                self.codec._decode_params, dev)
+        return self.codec._decode(self._decode_params_by_dev[dev],
+                                  jax.device_put(batch, dev))
+
     @staticmethod
     def _decode_plan(T: int, segment_frames: int, ctx_frames: int):
         """[(s, e, lo, hi)] decode segments over a T-frame latent — the
@@ -360,7 +405,7 @@ class InferencePipeline:
                 pad = L - (hi - lo)
                 if pad:
                     seg = jnp.pad(seg, ((0, pad), (0, 0)))
-                wav = self.codec.decode(seg[None])[0, :, 0]
+                wav = self._decode_call(seg[None])[0, :, 0]
                 wav_pieces.append(
                     wav[(s - lo) * hop: (s - lo + e - s) * hop])
                 next_seg += 1
@@ -370,7 +415,8 @@ class InferencePipeline:
         return np.concatenate([np.asarray(p) for p in wav_pieces])
 
     def decode_latent(self, latent, segment_frames: int = 2756,
-                      ctx_frames: int = 64) -> np.ndarray:
+                      ctx_frames: int = 64,
+                      decode_batch: int = 1) -> np.ndarray:
         """[T, C] latent (host or DEVICE array — pass the result of
         ``super_resolve_latent_device`` to skip two transfers) -> mono
         audio.
@@ -390,28 +436,49 @@ class InferencePipeline:
         # the remaining compute (a per-piece np.asarray inside the loop
         # serialised decode and transfer: 45 -> 70 audio-sec/s).
         pieces = self.decode_latent_pieces(latent, segment_frames,
-                                           ctx_frames)
+                                           ctx_frames, decode_batch)
         return np.concatenate([np.asarray(p) for p in pieces])
 
     def decode_latent_pieces(self, latent, segment_frames: int = 2756,
-                             ctx_frames: int = 64) -> List[jax.Array]:
+                             ctx_frames: int = 64,
+                             decode_batch: int = 1) -> List[jax.Array]:
         """:meth:`decode_latent` minus the host fetch: the ordered list of
         DEVICE wav pieces (concatenated they are the full song).  Callers
-        that only need a completion barrier (benches) fetch scalars."""
+        that only need a completion barrier (benches) fetch scalars.
+
+        ``decode_batch``: segments decoded per decoder call.  >1 amortises
+        the per-call fixed costs (grid setup, the unfused conv stages'
+        launch overhead) across segments — the batched call is one
+        [S, L, C] decode, identical math per segment (VERDICT r4 #4).
+        Short groups pad to the full batch so the decoder compiles once."""
         assert self.codec is not None
         z = jnp.asarray(latent)
         T = z.shape[0]
         hop = self.hop
         if segment_frames <= 0 or T <= segment_frames + 2 * ctx_frames:
-            return [self.codec.decode(z[None])[0, :, 0]]
+            return [self._decode_call(z[None])[0, :, 0]]
 
         L = segment_frames + 2 * ctx_frames  # fixed compile shape
-        pieces = []
-        for s, e, lo, hi in self._decode_plan(T, segment_frames, ctx_frames):
+        plan = self._decode_plan(T, segment_frames, ctx_frames)
+        segs = []
+        for s, e, lo, hi in plan:
             seg = z[lo:hi]
             pad = L - (hi - lo)
             if pad:
                 seg = jnp.pad(seg, ((0, pad), (0, 0)))
-            wav = self.codec.decode(seg[None])[0, :, 0]
-            pieces.append(wav[(s - lo) * hop: (s - lo + e - s) * hop])
+            segs.append(seg)
+        nb = max(1, decode_batch)
+        pieces = []
+        for i in range(0, len(segs), nb):
+            group = segs[i: i + nb]
+            n_real = len(group)
+            batch = jnp.stack(group)
+            if n_real < nb:  # pad so every call shares one compiled shape
+                batch = jnp.pad(batch,
+                                ((0, nb - n_real), (0, 0), (0, 0)))
+            wavs = self._decode_call(batch)
+            for j in range(n_real):
+                s, e, lo, hi = plan[i + j]
+                pieces.append(
+                    wavs[j, (s - lo) * hop: (s - lo + e - s) * hop, 0])
         return pieces

@@ -169,6 +169,7 @@ class GQAttention(nn.Module):
                     qkv, cos, sin, Hq, Hkv,
                     interpret=interp, n_valid=cfg.attn_valid_len,
                     int8_qk=cfg.flash_int8_qk,
+                    pipeline_v=cfg.flash_pipeline_v,
                     # bf16_weights stays OFF: rounding the softmax weights
                     # to bf16 before exp2 measured 113.2 vs 116.4 — Mosaic
                     # upcasts bf16 transcendentals, so the narrower dtype
@@ -214,10 +215,11 @@ class GQAttention(nn.Module):
         if (not deterministic and cfg.train_attention_impl == "flash"
                 and cfg.pos_embed == "rope"):
             from ..ops import attention_train as at
-            from ..ops.attention import flash_supported
 
             interp = jax.default_backend() != "tpu"
-            if flash_supported(N, Hq, Hkv, D) and \
+            # train_flash_supported budgets the BACKWARD kernel too — its
+            # VMEM footprint is ~2x the forward's (ADVICE r4 #3).
+            if at.train_flash_supported(N, Hq, Hkv, D) and \
                     (not interp or at.ALLOW_INTERPRET_DISPATCH):
                 if cfg.dropout > 0.0:
                     # Fresh int32 stream id per (step, layer): make_rng

@@ -237,7 +237,8 @@ def gqa_attention_flash(q: jax.Array, k: jax.Array, v: jax.Array,
 def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
                            scale: float, n_valid: int, hq: int, hkv: int,
                            d: int, int8_qk: bool = False,
-                           bf16_weights: bool = False):
+                           bf16_weights: bool = False,
+                           pipeline_v: bool = False):
     """Flash v3.1: consumes the UNSPLIT fused-QKV projection output and
     applies RoPE in-kernel — the XLA-level qkv split slices + rotate-half
     concats (~1.3 ms/step at v3 geometry) disappear into VPU work that
@@ -306,6 +307,62 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
         )
         return jnp.where(mask, s, -jnp.inf)
 
+    def value_dot(e, r, h):
+        if int8_qk:
+            # e's row max is EXACTLY 1 (exp(0) at the max-shifted column),
+            # so a fixed 127 scale quantises it with no absmax reduce —
+            # the per-row abs/max/divide chain that originally sank the
+            # int8 value dot (PERF.md flash v3.3) disappears.
+            w_q = jnp.round(e * 127.0).astype(jnp.int8)
+            v_q, sv = vs[h // g]
+            acc = jnp.dot(w_q, v_q, preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (r * (1.0 / 127.0)) * sv
+        return jnp.dot(e.astype(qkv.dtype), vs[h // g],
+                       preferred_element_type=jnp.float32) * r
+
+    def epilogue(s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        if bf16_weights:
+            e = jnp.exp2((s - m).astype(jnp.bfloat16))
+        else:
+            e = jnp.exp2(s - m)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        return e, r
+
+    def store(o, h, o_even):
+        """Paired head stores (see the h % 2 comment below); returns the
+        buffered even head."""
+        if h % 2 == 0:
+            return o
+        o_ref[0, :, (h - 1) * d:(h + 1) * d] = jnp.concatenate(
+            [o_even, o], axis=1).astype(o_ref.dtype)
+        return None
+
+    if pipeline_v:
+        # v3.5 — softmax epilogue hidden under the MXU stream (VERDICT r4
+        # #1): head h's value dot is DEFERRED one iteration, so the issue
+        # order per step is  [score dot h+1 | value dot h-1 | epilogue h]
+        # — the VPU epilogue sits between two MXU dots it has no data
+        # dependency on, giving Mosaic a full two-dot window to overlap
+        # it, instead of the value dot of the SAME head blocking on it.
+        # Identical math and identical VMEM high-water mark (s_cur,
+        # s_next, e — the same 3 score-sized temporaries).
+        s_cur = score(0)
+        pend = None   # (e, r) of head h-1, value dot not yet issued
+        o_even = None
+        for h in range(hq):
+            s_next = score(h + 1) if h + 1 < hq else None
+            if pend is not None:
+                o = value_dot(*pend, h - 1)
+                o_even = store(o, h - 1, o_even)
+            pend = epilogue(s_cur)
+            s_cur = s_next
+        o = value_dot(*pend, hq - 1)
+        o_even = store(o, hq - 1, o_even)
+        if hq % 2:
+            o_ref[0, :, (hq - 1) * d:] = o_even.astype(o_ref.dtype)
+        return
+
     s_next = score(0)
     for h in range(hq):
         s = s_next
@@ -353,13 +410,15 @@ def _attn_kernel_flash_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("num_q_heads", "num_kv_heads",
                                              "interpret", "n_valid",
-                                             "int8_qk", "bf16_weights"))
+                                             "int8_qk", "bf16_weights",
+                                             "pipeline_v"))
 def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
                             num_q_heads: int, num_kv_heads: int,
                             interpret: bool = False,
                             n_valid: int = 0,
                             int8_qk: bool = False,
-                            bf16_weights: bool = False) -> jax.Array:
+                            bf16_weights: bool = False,
+                            pipeline_v: bool = False) -> jax.Array:
     """Flash GQA from the raw fused-QKV projection output.
 
     Args:
@@ -384,7 +443,7 @@ def gqa_attention_flash_qkv(qkv: jax.Array, cos: jax.Array, sin: jax.Array,
     kernel = functools.partial(
         _attn_kernel_flash_qkv, scale=scale, n_valid=n_valid or N,
         hq=num_q_heads, hkv=num_kv_heads, d=D, int8_qk=int8_qk,
-        bf16_weights=bf16_weights,
+        bf16_weights=bf16_weights, pipeline_v=pipeline_v,
     )
     QD = num_q_heads * D
     out = pl.pallas_call(

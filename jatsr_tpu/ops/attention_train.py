@@ -57,6 +57,30 @@ ALLOW_INTERPRET_DISPATCH = False
 _GOLD = 0x9E3779B9  # 2^32 / golden ratio — classic stream separator
 
 
+def train_flash_supported(n: int, num_q_heads: int, num_kv_heads: int,
+                          d: int) -> bool:
+    """Whether BOTH training kernels fit VMEM at this geometry.
+
+    The serving-oriented ``flash_supported`` models the forward footprint
+    only (3 score temporaries, 2-3 data blocks).  The backward kernel holds
+    8 [Np, H*D]-class blocks (q/k/v/o/do in, dq/dk/dv out), ~6 [Np, Np]
+    fp32 temporaries per head iteration (s, p, dwd, dw/wd, ds, keep) and
+    the fp32 dk/dv group accumulators — geometries near the budget can
+    pass the forward gate yet fail Mosaic compilation in backward,
+    crashing training instead of falling back to XLA (ADVICE r4 #3).
+    """
+    from .attention import _FLASH_VMEM_BUDGET
+
+    np_ = _round_up(n, 8)
+    qd, kd = num_q_heads * d, num_kv_heads * d
+    bwd = (3 * np_ * qd * 2 + 2 * np_ * kd * 2   # q/o/do + k/v in (bf16)
+           + np_ * qd * 2 + 2 * np_ * kd * 2     # dq + dk/dv out
+           + 6 * np_ * np_ * 4                   # fp32 score temporaries
+           + 2 * num_kv_heads * np_ * d * 4)     # dk/dv accumulators fp32
+    return (flash_supported(n, num_q_heads, num_kv_heads, d)
+            and bwd <= _FLASH_VMEM_BUDGET)
+
+
 def _hash_u32(x):
     """lowbias32 integer finalizer (Wang/Mulvey): a 2-round xorshift-
     multiply with measured low avalanche bias — plenty for dropout."""
@@ -73,14 +97,18 @@ def dropout_keep_mask(seed, b: int, h: int, np_: int, rate: float):
     both INSIDE the kernels and by tests to reproduce the exact mask."""
     row = jax.lax.broadcasted_iota(jnp.uint32, (np_, np_), 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, (np_, np_), 1)
-    # Global linear index, all arithmetic in uint32 (well-defined wrap;
-    # int32 overflow would be unsafe at b*4096*np_^2 scale).  Unique per
-    # (b, h, i, j) mod 2^32 — B*Hq*N^2 << 2^32 at any supported geometry
-    # (flash_supported caps N).
-    base = ((jnp.uint32(b) * jnp.uint32(4096) + jnp.uint32(h))
-            * jnp.uint32(np_ * np_)
-            + jnp.uint32(seed).astype(jnp.uint32) * jnp.uint32(_GOLD))
-    idx = base + row * jnp.uint32(np_) + col
+    # Two-level counter hash, all arithmetic in uint32 (well-defined wrap).
+    # Level 1 derives a per-(seed, b, h) stream id; level 2 hashes
+    # stream ^ cell.  Distinct (b, h) give distinct level-1 inputs, and any
+    # nonzero stream difference decorrelates the level-2 outputs, so mask
+    # blocks never alias at ANY batch/head count — unlike a linear
+    # base + b*stride layout, where the stride wraps 2^32 once
+    # b*Hq*np_^2 exceeds it (~b>=9 at production N=345).
+    stream = _hash_u32(jnp.uint32(b) * jnp.uint32(_GOLD)
+                       + jnp.uint32(h)
+                       + jnp.uint32(seed).astype(jnp.uint32)
+                       * jnp.uint32(0x85EBCA6B))
+    idx = stream ^ (row * jnp.uint32(np_) + col)
     bits = _hash_u32(idx)
     thr = np.uint32(min(int(round((1.0 - rate) * 2.0**32)), 2**32 - 1))
     return bits <= jnp.uint32(thr)

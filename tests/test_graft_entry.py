@@ -35,5 +35,7 @@ def test_dryrun_recovers_and_reruns():
         capture_output=True, text=True, timeout=900,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
-    assert proc.stdout.count("[dryrun] ok") == 2, proc.stdout
+    # 3 ok rows per call since VERDICT r4 #7: plain train step, grad-accum
+    # train step, and the split sampler+decode serving schedule.
+    assert proc.stdout.count("[dryrun] ok") == 6, proc.stdout
     assert "TWICE_OK" in proc.stdout

@@ -217,6 +217,37 @@ def test_flash_qkv_kernel_matches_split_path():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_flash_qkv_pipeline_v_exact():
+    """flash v3.5 (value dot deferred one head iteration, VERDICT r4 #1)
+    is a pure reordering: per-head arithmetic is identical, so the output
+    must be BIT-EQUAL to the v3.1 kernel — odd and even head counts cover
+    both tails of the paired-store logic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from jatsr_tpu.models.dit import rope_cos_sin
+    from jatsr_tpu.ops.attention import gqa_attention_flash_qkv
+
+    for Hq, Hkv in ((8, 2), (5, 1)):
+        B, N, D = 2, 90, 32
+        key = jax.random.PRNGKey(11 + Hq)
+        qkv = jax.random.normal(key, (B, N, (Hq + 2 * Hkv) * D), jnp.float32)
+        cos, sin = rope_cos_sin(N, D)
+        want = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv,
+                                       interpret=True)
+        got = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv,
+                                      interpret=True, pipeline_v=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # and with the int8 value-dot variant (v3.4 + v3.5 compose)
+        want8 = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv,
+                                        interpret=True, int8_qk=True)
+        got8 = gqa_attention_flash_qkv(qkv, cos, sin, Hq, Hkv,
+                                       interpret=True, int8_qk=True,
+                                       pipeline_v=True)
+        np.testing.assert_array_equal(np.asarray(got8), np.asarray(want8))
+
+
 def test_flash_qkv_bf16_inputs_close_to_fp32():
     """ADVICE r3: the base-2 rewrite folds scale*log2(e) into q in the
     INPUT dtype, so on the bf16 serving path the scale multiply rounds in

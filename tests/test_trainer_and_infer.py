@@ -657,3 +657,59 @@ def test_infer_cli_serving_knobs(trained, tmp_path, monkeypatch, capsys):
     cap = capsys.readouterr().out
     assert "serving mesh: data=4 x model=2" in cap
     assert (out3 / "song.lr_generated_cfg2.0.wav").exists()
+
+
+def test_pipeline_split_serve_schedule(trained):
+    """Multi-chip serving scheduling (VERDICT r4 #5): sampler sharded over
+    a (3, 2) mesh on six devices while decode segments round-robin the
+    remaining two.  Decode numerics are placement-invariant, so against a
+    pipeline with the SAME sampler mesh but in-place decode the audio must
+    be bit-EXACT; batched decode (decode_batch=2) must also be exact."""
+    from jatsr_tpu.infer import split_serve_devices
+    from jatsr_tpu.models.dac import DAC, DACConfig
+    from jatsr_tpu.parallel import make_mesh
+
+    tmp, preset, tr, _ = trained
+    tiny = DACConfig(encoder_dim=8, encoder_rates=(2, 4), decoder_dim=16,
+                     decoder_rates=(4, 2), n_codebooks=2, codebook_size=16,
+                     codebook_dim=4)
+    codec = DAC.random_init(3, cfg=tiny)
+    norm = Normalizer(np.zeros(C), np.ones(C), np.zeros(C), np.ones(C))
+    scfg = SamplerConfig(num_steps=3,
+                         chunk_duration=64 * 512 / 44100,
+                         overlap_duration=16 * 512 / 44100)
+    sampler_devs, decode_devs = split_serve_devices(jax.devices(), 2)
+    assert len(sampler_devs) == 6 and len(decode_devs) == 2
+    mesh = make_mesh(3, 2, devices=sampler_devs)
+    lr_latent = np.random.RandomState(2).randn(400, C).astype(np.float32)
+
+    ref = InferencePipeline(tr.model, tr.state.params, norm, codec=codec,
+                            sampler_cfg=scfg, hop_length=8, mesh=mesh)
+    want = ref.super_resolve_latent_to_audio(
+        lr_latent, jax.random.PRNGKey(5), cfg_scale=2.0, max_batch=2,
+        segment_frames=100, ctx_frames=12)
+
+    split = InferencePipeline(tr.model, tr.state.params, norm, codec=codec,
+                              sampler_cfg=scfg, hop_length=8, mesh=mesh,
+                              decode_devices=decode_devs)
+    got = split.super_resolve_latent_to_audio(
+        lr_latent, jax.random.PRNGKey(5), cfg_scale=2.0, max_batch=2,
+        segment_frames=100, ctx_frames=12)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+    # several segments actually landed on the reserved decode devices
+    assert split._decode_rr >= 2
+    assert len(split._decode_params_by_dev) == 2
+
+    # batched decode (VERDICT r4 #4): one [S, L, C] decoder call per pair
+    # of segments — identical per-segment math, including the padded tail
+    # group and round-robin placement.
+    gen = ref.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(5), cfg_scale=2.0, max_batch=2)
+    want_pieces = ref.decode_latent(gen, segment_frames=100, ctx_frames=12)
+    got_b2 = ref.decode_latent(gen, segment_frames=100, ctx_frames=12,
+                               decode_batch=2)
+    np.testing.assert_array_equal(got_b2, want_pieces)
+    got_b3 = split.decode_latent(gen, segment_frames=100, ctx_frames=12,
+                                 decode_batch=3)
+    np.testing.assert_array_equal(got_b3, want_pieces)

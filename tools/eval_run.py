@@ -68,6 +68,12 @@ def main():
     ap.add_argument("--fused-decode", action="store_true",
                     help="decode through the fused Pallas residual-unit "
                          "kernels (the --fused-decode serving knob)")
+    ap.add_argument("--unfused-gt-decode", action="store_true",
+                    help="with --fused-decode: decode the ground-truth/LR "
+                         "reference audio through the UNFUSED XLA decoder "
+                         "while generated audio uses the fused kernels, so "
+                         "systematic decoder-numerics errors cannot cancel "
+                         "in the metric deltas (ADVICE r4 #1)")
     ap.add_argument("--seeds", type=int, nargs="*", default=[0],
                     help="sampler seeds; metrics are averaged over seeds "
                          "and the report carries mean±std (VERDICT r3 #4: "
@@ -144,11 +150,22 @@ def main():
     if args.dac_weights:
         from jatsr_tpu.models.dac.convert import load_torch_checkpoint
 
+        codec_source = args.dac_weights
         codec = DAC(load_torch_checkpoint(args.dac_weights),
                     fused_res_units=args.fused_decode)
     else:
         print("[warn] RANDOM codec weights — quality numbers meaningless")
+        codec_source = "random_init(0)"
         codec = DAC.random_init(0, fused_res_units=args.fused_decode)
+    # Asymmetric-decode gate mode: reference audio through the unfused XLA
+    # decoder, generated audio through the kernels under test.
+    codec_ref = codec
+    if args.unfused_gt_decode and args.fused_decode:
+        if args.dac_weights:
+            codec_ref = DAC(load_torch_checkpoint(args.dac_weights),
+                            fused_res_units=False)
+        else:
+            codec_ref = DAC.random_init(0, fused_res_units=False)
 
     stats_path = Path(args.data_dir) / preset.data.stats_file
     norm = Normalizer(*load_stats(str(stats_path)))
@@ -157,6 +174,8 @@ def main():
                                cfg_interval=tuple(args.cfg_interval),
                                solver=args.solver)
     pipe = InferencePipeline(model, state.params, norm, codec, scfg)
+    pipe_ref = (pipe if codec_ref is codec else
+                InferencePipeline(model, state.params, norm, codec_ref, scfg))
 
     out_dir = Path(args.output_dir or Path(args.run_dir) / "eval")
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -177,8 +196,8 @@ def main():
             g = pipe.super_resolve_latent(lr, jax.random.PRNGKey(0),
                                           args.steps, s)
             per_scale[f"cfg_{s}"] = g
-        wav_gt = pipe.decode_latent(hr)
-        wav_lr = pipe.decode_latent(lr)
+        wav_gt = pipe_ref.decode_latent(hr)
+        wav_lr = pipe_ref.decode_latent(lr)
 
         def metrics(a, b):
             lsd, _ = calculate_lsd(a, b)
@@ -249,6 +268,11 @@ def main():
         "solver": args.solver,
         "seeds": list(args.seeds),
         "fused_decode": bool(args.fused_decode),
+        # codec provenance (ADVICE r4 #1): which weights decoded the audio,
+        # and whether GT/LR went through the unfused parity decoder.
+        "codec_source": codec_source,
+        "gt_decode": ("unfused" if codec_ref is not codec else
+                      ("fused" if args.fused_decode else "unfused")),
         "avg_generated": {k: avg("generated_vs_gt", k)
                           for k in ("lsd", "mel_l1", "mel_l2")},
         "std_generated": {k: spread(k)

@@ -28,6 +28,16 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--preset", default="v1",
+                    help="v1 = 60 M (the round-3 gate); v3mod2 = the 766 M "
+                         "flagship at production geometry with the full "
+                         "latent-perceptual loss stack (VERDICT r4 #2a)")
+    ap.add_argument("--resume-midway", action="store_true",
+                    help="at steps/2: checkpoint, rebuild a FRESH train "
+                         "state, restore, continue — proves 766 M-scale "
+                         "checkpoint/resume on chip (VERDICT r4 #2c)")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON here (reports/...)")
     args = ap.parse_args()
 
     import jax
@@ -75,10 +85,11 @@ def main():
     hr_b = np.repeat(hr, B, axis=0)
     lr_b = np.repeat(lr_lat, B, axis=0)
 
-    preset = get_preset("v1")  # 60 M, C=1024
+    preset = get_preset(args.preset)  # v1 = 60 M; v3mod2 = 766 M flagship
     mcfg = dataclasses.replace(preset.model, dropout=0.0, drop_path_rate=0.0)
     tcfg = dataclasses.replace(preset.train, lr=args.lr, warmup_steps=30,
-                               condition_noise_ratio=0.0, batch_size=B)
+                               condition_noise_ratio=0.0, batch_size=B,
+                               cfg_dropout_prob=0.0)
     model = DiT(mcfg)
     state = create_train_state(model, tcfg, args.steps * 2,
                                (jnp.asarray(hr_b), jnp.asarray(lr_b)))
@@ -92,6 +103,8 @@ def main():
     hr_j, lr_j = jnp.asarray(hr_b), jnp.asarray(lr_b)
     t0 = time.time()
     first = None
+    resumed = None
+    half = args.steps // 2
     for i in range(args.steps):
         state, m = step(state, hr_j, lr_j)
         if first is None:
@@ -100,6 +113,31 @@ def main():
                   f"{time.time()-t0:.0f}s)")
         elif (i + 1) % 100 == 0:
             print(f"step {i+1}: loss {float(m['loss']):.5f}")
+        if args.resume_midway and i + 1 == half:
+            # Full checkpoint -> FRESH state -> restore -> continue: the
+            # 766 M-scale resume evidence VERDICT r4 #2c asks for.  The
+            # restored loss must continue the curve (bit-exact resume is
+            # covered by tests/test_trainer_and_infer.py at small scale;
+            # here the point is Orbax round-tripping 766 M params + bf16
+            # Adam moments + PRNG on the real chip).
+            import tempfile
+
+            from jatsr_tpu.train.checkpoint import CheckpointManager
+
+            loss_before = float(m["loss"])
+            ckdir = tempfile.mkdtemp(prefix="overfit_resume_")
+            cm = CheckpointManager(ckdir)
+            cm.save(state, epoch=0, val_loss=loss_before, tag="last")
+            fresh = create_train_state(
+                model, tcfg, args.steps * 2,
+                (jnp.asarray(hr_b), jnp.asarray(lr_b)))
+            state, meta = cm.restore("last", fresh)
+            state, m = step(state, hr_j, lr_j)
+            loss_after = float(m["loss"])
+            resumed = {"at_step": half, "loss_before": round(loss_before, 5),
+                       "loss_after_restore_step": round(loss_after, 5)}
+            print(f"[resume] ckpt at step {half}: loss {loss_before:.5f} "
+                  f"-> restored+1 step {loss_after:.5f}")
     last = float(m["loss"])
 
     sampler = FlowSampler(

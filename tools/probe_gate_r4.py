@@ -40,12 +40,18 @@ CONDITIONS = {
     "euler25": ["--steps", "25"],
     "heun25": ["--steps", "25", "--solver", "heun"],
     "fused_decode": ["--fused-decode"],
+    # ADVICE r4 #1: generated audio through the fused kernels, GT/LR through
+    # the unfused XLA decoder — decoder-numerics errors cannot cancel.
+    "fused_decode_asym": ["--fused-decode", "--unfused-gt-decode"],
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--run-dir", default="checkpoints/v1/probe_r4")
+    ap.add_argument("--preset", default="v1",
+                    help="model preset of --run-dir (v2 = the 288 M "
+                         "scale-transfer probe, VERDICT r4 #3)")
     ap.add_argument("--checkpoint", default="best")
     ap.add_argument("--data-dir", default="/tmp/probe/data")
     ap.add_argument("--out", default="/tmp/probe/gates")
@@ -69,7 +75,7 @@ def main():
             cmd = [
                 sys.executable, str(REPO / "tools/eval_run.py"),
                 "--run-dir", args.run_dir, "--checkpoint", args.checkpoint,
-                "--preset", "v1", "--data-dir", args.data_dir,
+                "--preset", args.preset, "--data-dir", args.data_dir,
                 "--num-songs", str(args.songs), "--steps", str(args.steps),
                 "--cfg-scale", "3.0", "--int8", "--scores-dtype", "bfloat16",
                 "--fused-mlp", "--attention", "flash",
