@@ -104,6 +104,11 @@ def split_serve_devices(devices=None, n_decode: int = 1):
 class InferencePipeline:
     """LR latent / LR audio -> generated HR audio at 44.1 kHz."""
 
+    # Class-level defaults so decode-only pipelines built without __init__
+    # (tests construct via __new__ with just codec+hop) keep working.
+    decode_devices = None
+    _decode_rr = 0
+
     def __init__(
         self,
         model,
