@@ -6,6 +6,7 @@ from .config import (
     SamplerConfig,
     TrainConfig,
     apply_env_aliases,
+    data_preset,
     get_preset,
     list_presets,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "SamplerConfig",
     "Preset",
     "apply_env_aliases",
+    "data_preset",
     "get_preset",
     "list_presets",
 ]

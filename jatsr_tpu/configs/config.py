@@ -242,11 +242,47 @@ class DataConfig:
     min_duration: float = 1.0
     val_ratio: float = 0.1
     split_seed: int = 42
+    # Historical preprocessing generations as one knob (SURVEY §2.4):
+    #   "overlap"  7 s valid + 0.5 s context overlap-trim windows — the
+    #              v4/v5 scheme (ref prepare_dataset_v4.py:48,133-146,
+    #              prepare_dataset_v5.py:142-169; the default).
+    #   "plain"    fixed chunk_duration windows with NO context frames —
+    #              the v3 scheme (ref scripts/prepare_dataset_v3.py:44,
+    #              74-110 used 15 s).
+    #   "whole"    one window per song (pow2-bucketed samples) — the v2
+    #              scheme (ref scripts/prepare_dataset_v2.py:1-8, whole
+    #              songs, one file each; OOM-prone on GPUs, which is why
+    #              v3 moved to chunks — on TPU it is just a bigger static
+    #              shape per bucket).
+    chunking: str = "overlap"
 
     @property
     def target_frames(self) -> int:
         # 16 * 44100 / 512 = 1378 (ref train_ddp_v3mod2.py:340)
         return int(self.target_duration * self.dac_sample_rate / self.dac_hop_length)
+
+
+def data_preset(version: str) -> DataConfig:
+    """Historical dataset-preparation generations as configs (SURVEY §2.4).
+
+    The reference kept each generation as a separate script; here they are
+    one pipeline with the geometry as config:
+      v5/v4  overlap-trim windows (prepare_dataset_v5.py / _v4.py) — the
+             production scheme and the DataConfig default.
+      v3     plain 15 s chunks, no context (scripts/prepare_dataset_v3.py:44).
+      v2     whole-song encode + two-pass normalized storage
+             (scripts/prepare_dataset_v2.py: pass 1 stats, pass 2
+             normalize+save — run PreprocessPipeline.normalize_stored_latents()
+             after .run() for pass 2).
+    """
+    if version in ("v5", "v4"):
+        return DataConfig()
+    if version == "v3":
+        return DataConfig(chunking="plain", chunk_duration=15.0,
+                          overlap_duration=0.0)
+    if version == "v2":
+        return DataConfig(chunking="whole")
+    raise ValueError(f"unknown data preset {version!r}")
 
 
 @dataclass(frozen=True)

@@ -121,6 +121,20 @@ class StatsAccumulator:
             "total_frames": int(self.hr_n + self.lr_n),
         }
 
+    def scalar_separated_stats(self) -> Dict:
+        """SCALAR (not per-channel) HR/LR mean/std — the v2 generation's
+        statistics (scripts/prepare_dataset_v2.py:490-504 computes one
+        mean/std over all elements per domain)."""
+        def fin(s, sq, n):
+            n = max(n * self.c, 1)
+            mean = s.sum() / n
+            var = sq.sum() / n - mean**2
+            return float(mean), float(np.sqrt(max(var, 1e-6)))
+
+        hm, hs = fin(self.hr_sum, self.hr_sq, self.hr_n)
+        lm, ls = fin(self.lr_sum, self.lr_sq, self.lr_n)
+        return {"hr_mean": hm, "hr_std": hs, "lr_mean": lm, "lr_std": ls}
+
     def separated_stats(self) -> Dict:
         """Separated HR vs LR stats — what training actually consumes
         (recalculate_stats.py, train_ddp_v3mod2.py:334)."""
@@ -153,11 +167,18 @@ class PreprocessPipeline:
             else StatsAccumulator(codec.cfg.latent_dim)
         )
         c = self.cfg
-        self._win_samples = int(
-            (c.chunk_duration + 2 * c.overlap_duration) * c.high_sr
-        )
-        self._valid_samples = int(c.chunk_duration * c.high_sr)
-        self._overlap_samples = int(c.overlap_duration * c.high_sr)
+        if c.chunking == "plain":
+            # v3 scheme: fixed windows, no context frames
+            # (scripts/prepare_dataset_v3.py:44,74-110).
+            self._win_samples = int(c.chunk_duration * c.high_sr)
+            self._valid_samples = self._win_samples
+            self._overlap_samples = 0
+        else:  # "overlap" (v4/v5) and "whole" (v2 — windowed per song)
+            self._win_samples = int(
+                (c.chunk_duration + 2 * c.overlap_duration) * c.high_sr
+            )
+            self._valid_samples = int(c.chunk_duration * c.high_sr)
+            self._overlap_samples = int(c.overlap_duration * c.high_sr)
 
         # One jitted program: 48k window -> (HR, LR) 44.1k -> DAC encode both.
         def encode_windows(params, wins):  # wins: [N, W, 1] @ high_sr
@@ -230,6 +251,15 @@ class PreprocessPipeline:
             audio = np.asarray(
                 resample(jnp.asarray(audio[None, :]), sr, c.high_sr)
             )[0]
+        if c.chunking == "whole":
+            # v2 scheme: one window per song (scripts/prepare_dataset_v2.py
+            # kept whole songs, one file each).  Samples are bucketed to the
+            # next power of two so XLA compiles one program per length
+            # bucket instead of one per song.
+            bucket_len = max(1024, 1 << (len(audio) - 1).bit_length())
+            wins = np.zeros((1, bucket_len, 1), np.float32)
+            wins[0, : len(audio), 0] = audio
+            return wins, 1, len(audio), duration, sr
         wins = self._window_song(audio)[..., None]  # [N, W, 1]
 
         # Bucket the window count to the next power of two so XLA compiles
@@ -258,9 +288,14 @@ class PreprocessPipeline:
 
         # Trim context frames, measured the way the reference measures it
         # (hop inferred from actual encode, prepare_dataset_v5.py:222-235).
-        hop48 = self._win_samples / z_hr.shape[1]
-        trim = int(self._overlap_samples / hop48)
-        valid = int(self._valid_samples / hop48)
+        # wins.shape[1] == self._win_samples except in "whole" mode, where
+        # the window is the pow2-bucketed song length.
+        hop48 = wins.shape[1] / z_hr.shape[1]
+        if self.cfg.chunking == "whole":
+            trim, valid = 0, z_hr.shape[1]
+        else:
+            trim = int(self._overlap_samples / hop48)
+            valid = int(self._valid_samples / hop48)
         z_hr = z_hr[:, trim : trim + valid, :]
         z_lr = z_lr[:, trim : trim + valid, :]
 
@@ -417,6 +452,51 @@ class PreprocessPipeline:
                 if verbose and refined % 10 == 0:
                     print(f"[refine_lr] {refined} songs")
         return refined
+
+    def normalize_stored_latents(self, verbose: bool = True) -> int:
+        """The v2 generation's PASS 2 (scripts/prepare_dataset_v2.py:
+        621-732): rewrite every saved latent as ``(z - mean) / std`` with
+        the SCALAR separated HR/LR stats from pass 1, so the stored
+        dataset is pre-normalized.  Downstream must then normalize with
+        identity stats — this method rewrites both global-stats files to
+        identity and preserves the pass-1 stats as
+        ``global_stats_prenorm.json``.  Returns the number of songs
+        rewritten.  (v3+ moved normalization into the training step, which
+        is what the default pipeline does — this mode exists for dataset
+        parity with v2-era artifacts.)"""
+        s = self.acc.scalar_separated_stats()
+        (self.out / "global_stats_prenorm.json").write_text(
+            json.dumps(s, indent=2))
+        n = 0
+        for split in ("train", "val"):
+            for hr_path in sorted((self.out / split).glob("*.hr.npy")):
+                hr = np.load(hr_path).astype(np.float32)
+                lr_path = Path(str(hr_path).replace(".hr.npy", ".lr.npy"))
+                lr = np.load(lr_path).astype(np.float32)
+                np.save(hr_path, ((hr - s["hr_mean"]) / s["hr_std"])
+                        .astype(np.float16))
+                np.save(lr_path, ((lr - s["lr_mean"]) / s["lr_std"])
+                        .astype(np.float16))
+                meta_path = Path(str(hr_path).replace(".hr.npy",
+                                                      ".meta.json"))
+                if meta_path.exists():
+                    meta = json.loads(meta_path.read_text())
+                    meta["normalized"] = True
+                    meta_path.write_text(json.dumps(meta))
+                n += 1
+                if verbose and n % 50 == 0:
+                    print(f"[normalize] {n} songs")
+        c = self.acc.c
+        identity = {
+            "hr_mean": [0.0] * c, "hr_std": [1.0] * c,
+            "lr_mean": [0.0] * c, "lr_std": [1.0] * c,
+            "total_frames": int(self.acc.hr_n), "normalized_storage": True,
+        }
+        (self.out / "global_stats.json").write_text(
+            json.dumps(identity, indent=2))
+        (self.out / "global_stats_separated.json").write_text(
+            json.dumps(identity, indent=2))
+        return n
 
     def finalize_stats(self):
         (self.out / "global_stats.json").write_text(

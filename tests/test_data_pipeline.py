@@ -169,3 +169,84 @@ def test_batch_loader_keep_last(pipeline_out):
     assert sum(b[0].shape[0] for b in batches) == n
     if n % 4:
         assert batches[-1][0].shape[0] == n % 4
+
+
+def test_plain_chunking_v3_mode(tmp_path):
+    """chunking="plain" (the v3 generation, scripts/prepare_dataset_v3.py:
+    44,74-110): fixed windows, NO context frames — same frame count as the
+    overlap pipeline (both clamp to n_samples/hop), different windowing."""
+    src = tmp_path / "src"
+    _make_wavs(src, n=2)
+    codec = DAC.random_init(0, CODEC_CFG)
+    cfg = dataclasses.replace(DATA_CFG, chunking="plain",
+                              overlap_duration=0.0)
+    pipe = PreprocessPipeline(codec, cfg, str(tmp_path / "out"))
+    counts = pipe.run([str(src)], verbose=False)
+    assert counts["done"] == 2
+    assert pipe._overlap_samples == 0
+    assert pipe._win_samples == pipe._valid_samples
+    for split in ("train", "val"):
+        for hr_path in (tmp_path / "out" / split).glob("*.hr.npy"):
+            meta = json.loads(Path(
+                str(hr_path).replace(".hr.npy", ".meta.json")).read_text())
+            hr = np.load(hr_path)
+            assert hr.shape[0] == meta["frames"] > 0
+
+
+def test_whole_song_v2_mode(tmp_path):
+    """chunking="whole" (the v2 generation, scripts/prepare_dataset_v2.py:
+    whole songs, one file each) matches the frame count of the chunked
+    pipeline and produces finite latents."""
+    src = tmp_path / "src"
+    _make_wavs(src, n=2)
+    codec = DAC.random_init(0, CODEC_CFG)
+    from jatsr_tpu.configs import data_preset
+
+    assert data_preset("v2").chunking == "whole"
+    cfg = dataclasses.replace(DATA_CFG, chunking="whole")
+    pipe = PreprocessPipeline(codec, cfg, str(tmp_path / "out"))
+    counts = pipe.run([str(src)], verbose=False)
+    assert counts["done"] == 2
+    found = 0
+    for split in ("train", "val"):
+        for hr_path in (tmp_path / "out" / split).glob("*.hr.npy"):
+            meta = json.loads(Path(
+                str(hr_path).replace(".hr.npy", ".meta.json")).read_text())
+            hr = np.load(hr_path)
+            # frames = n_samples_at_high_sr / hop48 (pow2 padding trimmed)
+            assert hr.shape[0] == meta["frames"] > 0
+            assert np.isfinite(hr.astype(np.float32)).all()
+            found += 1
+    assert found == 2
+
+
+def test_normalize_stored_latents_v2_pass2(tmp_path):
+    """v2's PASS 2 (scripts/prepare_dataset_v2.py:621-732): latents are
+    rewritten as (z - mean)/std with SCALAR separated stats; the emitted
+    stats files become identity so downstream Normalizer is a no-op."""
+    src = tmp_path / "src"
+    _make_wavs(src, n=2)
+    codec = DAC.random_init(0, CODEC_CFG)
+    out = tmp_path / "out"
+    pipe = PreprocessPipeline(codec, DATA_CFG, str(out))
+    pipe.run([str(src)], verbose=False)
+    pre = {}
+    for split in ("train", "val"):
+        for p in (out / split).glob("*.hr.npy"):
+            pre[str(p)] = np.load(p).astype(np.float32)
+    s = pipe.acc.scalar_separated_stats()
+    n = pipe.normalize_stored_latents(verbose=False)
+    assert n == 2
+    for path, raw in pre.items():
+        post = np.load(path).astype(np.float32)
+        expect = ((raw - s["hr_mean"]) / s["hr_std"]).astype(np.float16)
+        np.testing.assert_allclose(post, expect.astype(np.float32),
+                                   atol=1e-3)
+        meta = json.loads(Path(
+            path.replace(".hr.npy", ".meta.json")).read_text())
+        assert meta["normalized"] is True
+    stats = json.loads((out / "global_stats_separated.json").read_text())
+    assert stats["normalized_storage"] is True
+    assert np.allclose(stats["hr_mean"], 0.0)
+    assert np.allclose(stats["hr_std"], 1.0)
+    assert (out / "global_stats_prenorm.json").exists()
