@@ -179,6 +179,9 @@ class ModelConfig:
     #   "full" — recompute everything (min HBM),
     #   "attn_out" — save only the [B, N, H] attention outputs: backward
     #                never re-runs attention, the cheapest HBM add,
+    #   "mlp" — save attention outputs + pre-GELU MLP activations: backward
+    #           replays neither attention nor the block's largest dot
+    #           (~1.6 GB at 766 M B=16; VERDICT r4 #6 candidate),
     #   "dots" — save matmul outputs, recompute elementwise (faster bwd),
     #   "none" — no remat (max HBM, fastest).
     remat_policy: str = "full"

@@ -504,6 +504,13 @@ class DiTBlock(nn.Module):
         else:
             mk = _dense_factory(cfg)
             h = mk(mlp_dim, "mlp_in")(h)
+            # Landmark for the "mlp" selective remat policy: saving the
+            # PRE-GELU [B, N, 4H] activation lets backward skip replaying
+            # the block's largest dot (mlp_in, ~40% of block FLOPs) — GELU
+            # itself is recomputed from it elementwise.  (Saving the
+            # post-GELU hidden instead would NOT avoid the replay: the
+            # GELU derivative needs the pre-activation.)
+            h = checkpoint_name(h, "mlp_pre")
             h = nn.gelu(h, approximate=False)
             h = nn.Dropout(rate=cfg.dropout)(h, deterministic=deterministic)
             h = mk(H, "mlp_out")(h)
@@ -665,6 +672,14 @@ class DiT(nn.Module):
                 # projection footprint.
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "attn_out")
+            elif cfg.remat_policy == "mlp":
+                # VERDICT r4 #6 candidate: coarser selective remat — save
+                # the attention outputs AND the pre-GELU MLP activations
+                # ([B, N, 4H] bf16: ~56 MB/block at 766 M B=16, 1.6 GB for
+                # depth 28), so backward replays neither the attention
+                # chain nor the block's largest dot.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "mlp_pre")
             else:
                 policy = None  # "full": nothing saveable (max recompute)
             block = nn.remat(DiTBlock, static_argnums=(6,), policy=policy)

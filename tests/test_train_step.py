@@ -185,3 +185,38 @@ def test_normalizer_roundtrip():
     x = jnp.asarray(rs.randn(2, 5, C), jnp.float32)
     back = norm.denorm_hr(norm.norm_hr(x))
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+@pytest.mark.parametrize("policy", ["attn_out", "mlp"])
+def test_selective_remat_gradient_parity(policy):
+    """Selective remat policies are pure FLOPs/HBM trades — gradients must
+    match full remat (the "mlp" policy additionally saves the pre-GELU
+    activations, VERDICT r4 #6)."""
+    rs = np.random.RandomState(1)
+    hr = jnp.asarray(rs.randn(2, 24, 1024), jnp.float32)
+    lr = jnp.asarray(rs.randn(2, 24, 1024), jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+
+    def grads_for(remat_policy):
+        mcfg = dataclasses.replace(PRESET.model, remat_policy=remat_policy,
+                                   dropout=0.0, drop_path_rate=0.0,
+                                   dtype="float32")
+        model = DiT(mcfg)
+        params = model.init({"params": jax.random.PRNGKey(0),
+                             "dropout": jax.random.PRNGKey(1)},
+                            hr, t, lr)["params"]
+
+        def loss(p):
+            pred = model.apply({"params": p}, hr, t, lr,
+                               deterministic=True)
+            return jnp.mean((pred - hr) ** 2)
+
+        return jax.grad(loss)(params)
+
+    g_full = grads_for("full")
+    g_sel = grads_for(policy)
+    flat_full = jax.tree_util.tree_leaves(g_full)
+    flat_sel = jax.tree_util.tree_leaves(g_sel)
+    for a, b in zip(flat_full, flat_sel):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)

@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--train-attention", default=None,
                     choices=["xla", "flash"],
                     help="ModelConfig.train_attention_impl")
-    ap.add_argument("--remat", default=None, choices=["full", "attn_out", "dots", "none"])
+    ap.add_argument("--remat", default=None, choices=["full", "attn_out", "mlp", "dots", "none"])
     ap.add_argument("--no-dropout", action="store_true")
     ap.add_argument("--out", default="/tmp/jatsr_profile_train")
     ap.add_argument("--summarize-only", default=None)

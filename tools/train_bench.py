@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-dropout", action="store_true")
-    ap.add_argument("--remat", default=None, choices=["full", "attn_out", "dots", "none"])
+    ap.add_argument("--remat", default=None, choices=["full", "attn_out", "mlp", "dots", "none"])
     ap.add_argument("--train-attention", default=None,
                     choices=["xla", "flash"],
                     help="ModelConfig.train_attention_impl (flash = fused "
