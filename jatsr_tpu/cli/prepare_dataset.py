@@ -27,6 +27,16 @@ def main(argv=None):
     ap.add_argument("--num-shards", type=int, default=1,
                     help="partition the file list across hosts")
     ap.add_argument("--shard-index", type=int, default=0)
+    ap.add_argument("--encode-devices", type=int, default=1,
+                    help="round-robin song encodes over the first N local "
+                         "devices with deferred fetches (the reference's "
+                         "one-worker-per-GPU pool, prepare_dataset_v5.py:"
+                         "326-381, as concurrent jit dispatch); 0 = all "
+                         "local devices")
+    ap.add_argument("--chunking", default="overlap",
+                    choices=["overlap", "plain", "whole"],
+                    help="historical preprocessing generation "
+                         "(overlap=v4/v5 default, plain=v3, whole=v2)")
     ap.add_argument("--platform", default=None,
                 help="force jax platform (cpu/tpu)")
     args = ap.parse_args(argv)
@@ -56,8 +66,15 @@ def main(argv=None):
         val_ratio=args.val_ratio,
         chunk_duration=args.chunk_duration,
         overlap_duration=args.overlap_duration,
+        chunking=args.chunking,
     )
-    pipe = PreprocessPipeline(codec, cfg, args.output_dir)
+    devices = None
+    if args.encode_devices != 1:
+        import jax
+
+        n = args.encode_devices or len(jax.devices())
+        devices = jax.devices()[:n]
+    pipe = PreprocessPipeline(codec, cfg, args.output_dir, devices=devices)
     counts = pipe.run(args.source_dirs, num_shards=args.num_shards,
                       shard_index=args.shard_index)
     print(f"[prepare_dataset] {counts}")

@@ -153,9 +153,18 @@ class PreprocessPipeline:
     """Batched, resumable audio -> latent preprocessing."""
 
     def __init__(self, codec: DAC, cfg: Optional[DataConfig] = None,
-                 output_dir: str = "data_processed"):
+                 output_dir: str = "data_processed", devices=None):
+        """``devices``: optional list of accelerator devices — song encodes
+        are placed round-robin with per-device codec-weight copies and the
+        result fetch deferred ``len(devices)`` songs, so consecutive songs
+        encode CONCURRENTLY on different chips (the TPU-native analogue of
+        the reference's one-worker-process-per-GPU pool,
+        prepare_dataset_v5.py:326-381).  None = the default device."""
         self.codec = codec
         self.cfg = cfg or DataConfig()
+        self.devices = list(devices) if devices else None
+        self._params_by_dev = {}
+        self._enc_rr = 0
         self.out = Path(output_dir)
         (self.out / "train").mkdir(parents=True, exist_ok=True)
         (self.out / "val").mkdir(parents=True, exist_ok=True)
@@ -277,12 +286,31 @@ class PreprocessPipeline:
         """Returns (hr [T,C] fp16, lr [T,C] fp16, metadata)."""
         return self._encode_song(path, self._prepare_song(path))
 
+    def _dispatch_encode(self, prepared):
+        """Issue the batched encode; returns DEVICE arrays (async under
+        jax's dispatch, so round-robin placements on distinct devices run
+        concurrently — fetch deferred to :meth:`_finalize_encode`)."""
+        wins = prepared[0]
+        if self.devices is None:
+            return self._encode_windows(self.codec.params, jnp.asarray(wins))
+        dev = self.devices[self._enc_rr % len(self.devices)]
+        self._enc_rr += 1
+        if dev not in self._params_by_dev:
+            self._params_by_dev[dev] = jax.device_put(self.codec.params, dev)
+        return self._encode_windows(self._params_by_dev[dev],
+                                    jax.device_put(wins, dev))
+
     def _encode_song(self, path: str, prepared
                      ) -> Tuple[np.ndarray, np.ndarray, Dict]:
         """DEVICE side: batched DAC encode of prepared windows + trim."""
+        return self._finalize_encode(path, prepared,
+                                     self._dispatch_encode(prepared))
+
+    def _finalize_encode(self, path: str, prepared, z
+                         ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+        """HOST side: fetch encode results, trim context, build metadata."""
         wins, n_real, n_samples, duration, sr = prepared
-        z_hr, z_lr = self._encode_windows(self.codec.params,
-                                          jnp.asarray(wins))
+        z_hr, z_lr = z
         z_hr = np.asarray(z_hr)[:n_real]  # [N, F, C]
         z_lr = np.asarray(z_lr)[:n_real]
 
@@ -374,20 +402,27 @@ class PreprocessPipeline:
             items = iter(q.get, None)
         else:
             items = serial()
+
+        # With multiple devices, keep len(devices) encodes in flight: song
+        # i's fetch is deferred until song i+len(devices) dispatches, so
+        # round-robin placements execute concurrently (the reference's
+        # per-GPU worker-pool throughput shape, prepare_dataset_v5.py:
+        # 326-341, without the process fan-out).
+        from collections import deque
+
+        inflight: deque = deque()
+        max_inflight = len(self.devices) if self.devices else 1
         i = 0
-        for item in items:
-            path, split, prepared, err = item
+
+        def flush_one():
+            nonlocal i
+            path, split, prepared, z = inflight.popleft()
             try:
-                if err is not None:
-                    raise err
-                hr, lr, meta = self._encode_song(path, prepared)
+                hr, lr, meta = self._finalize_encode(path, prepared, z)
                 self._save_song(split, hr, lr, meta)
                 self.acc.update(hr, lr)
                 self._log({"path": path, "status": "done", "split": split})
                 counts["done"] += 1
-            except ValueError as e:
-                self._log({"path": path, "status": "skipped", "reason": str(e)})
-                counts["skipped"] += 1
             except Exception as e:  # keep going on bad files (OOM etc.)
                 self._log({"path": path, "status": "error", "msg": str(e)})
                 counts["error"] += 1
@@ -398,6 +433,30 @@ class PreprocessPipeline:
                 self.acc.save(self.stats_file)
             if verbose and i % 10 == 0:
                 print(f"[preprocess] {i}/{len(todo)}")
+
+        for item in items:
+            path, split, prepared, err = item
+            try:
+                if err is not None:
+                    raise err
+                inflight.append((path, split, prepared,
+                                 self._dispatch_encode(prepared)))
+            except ValueError as e:
+                self._log({"path": path, "status": "skipped", "reason": str(e)})
+                counts["skipped"] += 1
+                i += 1
+                continue
+            except Exception as e:
+                self._log({"path": path, "status": "error", "msg": str(e)})
+                counts["error"] += 1
+                if verbose:
+                    traceback.print_exc()
+                i += 1
+                continue
+            if len(inflight) >= max_inflight:
+                flush_one()
+        while inflight:
+            flush_one()
         self.acc.save(self.stats_file)
         self.finalize_stats()
         return counts

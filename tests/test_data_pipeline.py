@@ -250,3 +250,33 @@ def test_normalize_stored_latents_v2_pass2(tmp_path):
     assert np.allclose(stats["hr_mean"], 0.0)
     assert np.allclose(stats["hr_std"], 1.0)
     assert (out / "global_stats_prenorm.json").exists()
+
+
+def test_multi_device_encode_matches_single(tmp_path):
+    """devices=... round-robin encode with deferred fetches (the
+    reference's per-GPU worker pool as concurrent jit dispatch,
+    prepare_dataset_v5.py:326-381) produces byte-identical latents and
+    stats to the single-device pipeline."""
+    import jax
+
+    src = tmp_path / "src"
+    _make_wavs(src, n=4)
+    codec = DAC.random_init(0, CODEC_CFG)
+    out1, outN = tmp_path / "out1", tmp_path / "outN"
+    c1 = PreprocessPipeline(codec, DATA_CFG, str(out1)).run(
+        [str(src)], verbose=False)
+    pipeN = PreprocessPipeline(codec, DATA_CFG, str(outN),
+                               devices=jax.devices()[:4])
+    cN = pipeN.run([str(src)], verbose=False)
+    assert c1 == cN
+    names = sorted(p.name for split in ("train", "val")
+                   for p in (out1 / split).glob("*.npy"))
+    assert names
+    for split in ("train", "val"):
+        for p in (out1 / split).glob("*.npy"):
+            a = np.load(p)
+            b = np.load(outN / split / p.name)
+            np.testing.assert_array_equal(a, b)
+    s1 = json.loads((out1 / "global_stats_separated.json").read_text())
+    sN = json.loads((outN / "global_stats_separated.json").read_text())
+    assert s1 == sN
