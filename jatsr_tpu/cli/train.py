@@ -48,6 +48,11 @@ def main(argv=None):
                          "raise on slow device->host links)")
     ap.add_argument("--run-name", default=None,
                     help="run dir name (default: MMDDHHMM timestamp)")
+    ap.add_argument("--remat", default=None,
+                    choices=["full", "attn_out", "mlp", "dots", "none"],
+                    help="rematerialisation policy (ModelConfig.remat_policy:"
+                         " full=max recompute, mlp=save attention outputs + "
+                         "pre-GELU activations, none=no remat)")
     ap.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace of the first N steps")
     ap.add_argument("--platform", default=None,
@@ -95,6 +100,11 @@ def main(argv=None):
     if train_over:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, **train_over)
+        )
+    if args.remat:
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(preset.model,
+                                              remat_policy=args.remat)
         )
     mesh = make_mesh(*args.mesh) if args.mesh else None
     trainer = Trainer(preset, data_dir=args.data_dir, resume=args.resume,
