@@ -38,7 +38,13 @@ def main():
                          "checkpoint/resume on chip (VERDICT r4 #2c)")
     ap.add_argument("--out", default=None,
                     help="also write the result JSON here (reports/...)")
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (cpu smoke / tpu)")
     args = ap.parse_args()
+
+    from jatsr_tpu.utils.runtime import select_platform
+
+    select_platform(args.platform)
 
     import jax
     import jax.numpy as jnp
@@ -127,7 +133,7 @@ def main():
             loss_before = float(m["loss"])
             ckdir = tempfile.mkdtemp(prefix="overfit_resume_")
             cm = CheckpointManager(ckdir)
-            cm.save(state, epoch=0, val_loss=loss_before, tag="last")
+            cm.save("last", state, epoch=0, best_val_loss=loss_before)
             fresh = create_train_state(
                 model, tcfg, args.steps * 2,
                 (jnp.asarray(hr_b), jnp.asarray(lr_b)))
