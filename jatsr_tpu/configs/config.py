@@ -376,6 +376,24 @@ class SamplerConfig:
     # Chunked long-audio inference (ref infer_test_v3m2.py:339-362).
     chunk_duration: float = 16.0
     overlap_duration: float = 2.0
+    # Initial-noise mapping for chunked inference:
+    #   "per_chunk" — chunk i draws from fold_in(key, i) regardless of how
+    #                 chunks are batched/grouped/padded; outputs are
+    #                 invariant to max_batch and mesh padding.  This is
+    #                 also the reference's semantics (its serial chunk loop
+    #                 calls torch.randn once per chunk,
+    #                 infer_test_v3m2.py:370-398).
+    #   "batch"     — one draw over the whole chunk batch (rounds 1-4's
+    #                 mapping; outputs depend on grouping).
+    chunk_noise: str = "per_chunk"
+    # Pad a smaller trailing chunk group up to max_batch (with CFG-null
+    # chunks) when a full-size group also ran: every group then reuses ONE
+    # compiled sampler program instead of compiling a separate tail-size
+    # program (multi-minute 766 M compiles) — exact under "per_chunk"
+    # noise since real chunks' draws don't depend on batch size.  Trades
+    # up to (max_batch - tail) chunks of extra compute per call; OFF for
+    # throughput benches.
+    pad_tail_group: bool = False
 
 
 @dataclass(frozen=True)

@@ -226,23 +226,61 @@ class InferencePipeline:
             lat_n = jnp.pad(lat_n, ((0, CF - tail), (0, 0)))
         cond = jnp.stack([lat_n[s: s + CF] for s, _ in plan])
 
+        # Per-chunk noise (default): chunk i's initial noise is a pure
+        # function of (key, i) — outputs are invariant to max_batch
+        # grouping, mesh padding, and tail-group padding.  Matches the
+        # reference's serial per-chunk torch.randn (infer_test_v3m2.py:
+        # 370-398).  "batch" restores the rounds-1-4 whole-batch draw.
+        # NOTE: drawn as N separate normal() calls, NOT one vmapped draw —
+        # under the rbg PRNG (the TPU serving default) vmapping normal()
+        # over folded keys collapses to a single-key batch draw (all lanes
+        # share the first key), which would silently break the per-chunk
+        # property.  N is the chunk count, so the eager dispatches are
+        # negligible.
+        z0_all = None
+        if self.cfg.chunk_noise == "per_chunk":
+            z0_all = jnp.stack([
+                jax.random.normal(jax.random.fold_in(key, i),
+                                  (CF, lat_n.shape[-1]), jnp.float32)
+                for i in range(len(plan))
+            ])
+
         groups = (
-            [cond]
+            [(0, len(plan))]
             if max_batch <= 0
-            else [cond[i : i + max_batch] for i in range(0, len(plan), max_batch)]
+            else [(i, min(i + max_batch, len(plan)))
+                  for i in range(0, len(plan), max_batch)]
         )
         outs = []
-        for gi, g in enumerate(groups):
+        for gi, (s_g, e_g) in enumerate(groups):
+            g = cond[s_g:e_g]
+            z0 = None if z0_all is None else z0_all[s_g:e_g]
             n_real = g.shape[0]
+            pad_b = 0
+            if (self.cfg.pad_tail_group and z0 is not None and gi > 0
+                    and n_real < max_batch):
+                # Reuse the full-size group's compiled program: pad with
+                # CFG-null chunks (zeros in normalized space) — exact for
+                # the real chunks under per-chunk noise.
+                pad_b = max_batch - n_real
             if self._batch_sharding is not None:
-                pad_b = (-n_real) % self._data_size
-                if pad_b:
-                    g = jnp.concatenate(
-                        [g, jnp.zeros((pad_b,) + g.shape[1:], g.dtype)], 0
-                    )
+                pad_b = max(pad_b, (-n_real) % self._data_size)
+            if pad_b:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((pad_b,) + g.shape[1:], g.dtype)], 0
+                )
+                if z0 is not None:
+                    # padded rows still need well-formed noise; any values
+                    # work (their outputs are sliced away).
+                    z0 = jnp.concatenate(
+                        [z0, jnp.zeros((pad_b,) + z0.shape[1:], z0.dtype)], 0)
+            if self._batch_sharding is not None:
                 g = jax.device_put(g, self._batch_sharding)
+                if z0 is not None:
+                    z0 = jax.device_put(z0, self._batch_sharding)
             gen = self.sampler(
-                jax.random.fold_in(key, gi), g, num_steps, cfg_scale
+                jax.random.fold_in(key, gi), g, num_steps, cfg_scale,
+                z0=z0,
             )[:n_real]
             outs.append(self.norm.denorm_hr(gen))
         gen_all = jnp.concatenate(outs, axis=0)

@@ -219,6 +219,7 @@ class FlowSampler:
         cond: jax.Array,
         num_steps: Optional[int] = None,
         cfg_scale: Optional[float] = None,
+        z0: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Sample HR latents given normalized LR-condition latents.
 
@@ -226,12 +227,18 @@ class FlowSampler:
             key: PRNG key for the initial noise.
             cond: [B, T, C] normalized LR latents.
             num_steps / cfg_scale: optional overrides of the config.
+            z0: optional caller-supplied initial noise (e.g. the pipeline's
+                per-chunk draws, which make chunked outputs invariant to
+                batching/grouping — the reference loops chunks serially
+                with one torch.randn per chunk, infer_test_v3m2.py:
+                370-398, so per-chunk noise is also its semantics).
         Returns:
             [B, T, C] generated normalized HR latents.
         """
         num_steps = num_steps or self.cfg.num_steps
         cfg_scale = self.cfg.cfg_scale if cfg_scale is None else cfg_scale
-        z0 = jax.random.normal(key, cond.shape, dtype=jnp.float32)
+        if z0 is None:
+            z0 = jax.random.normal(key, cond.shape, dtype=jnp.float32)
         timesteps = jnp.linspace(0.0, 1.0, num_steps + 1, dtype=jnp.float32)
         if cfg_scale != 1.0:
             lo, hi = self.cfg.cfg_interval

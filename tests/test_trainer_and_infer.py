@@ -521,7 +521,7 @@ def test_tail_chunk_padding_is_cfg_null(trained):
                              sampler_cfg=scfg)
     captured = {}
 
-    def spy_sampler(key, cond, num_steps=None, cfg_scale=None):
+    def spy_sampler(key, cond, num_steps=None, cfg_scale=None, z0=None):
         captured["cond"] = np.asarray(cond)
         return cond
 
@@ -713,3 +713,44 @@ def test_pipeline_split_serve_schedule(trained):
     got_b3 = split.decode_latent(gen, segment_frames=100, ctx_frames=12,
                                  decode_batch=3)
     np.testing.assert_array_equal(got_b3, want_pieces)
+
+
+def test_per_chunk_noise_grouping_invariance(trained):
+    """Under chunk_noise="per_chunk" (default), the generated latent is
+    invariant to max_batch grouping, and pad_tail_group=True (reuse the
+    full-size group's compiled program for the tail) is exact for the
+    real chunks.  The reference's serial chunk loop draws noise per chunk
+    (infer_test_v3m2.py:370-398), so this is also its semantics."""
+    import dataclasses as dc
+
+    tmp, preset, tr, _ = trained
+    norm = Normalizer(np.zeros(C), np.ones(C), np.zeros(C), np.ones(C))
+    scfg = SamplerConfig(num_steps=3,
+                         chunk_duration=64 * 512 / 44100,
+                         overlap_duration=16 * 512 / 44100)
+    lr_latent = np.random.RandomState(4).randn(250, C).astype(np.float32)
+    pipe = InferencePipeline(tr.model, tr.state.params, norm,
+                             sampler_cfg=scfg)
+    one = np.asarray(pipe.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=0))
+    grouped = np.asarray(pipe.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=2))
+    np.testing.assert_array_equal(one, grouped)
+
+    padded_pipe = InferencePipeline(
+        tr.model, tr.state.params, norm,
+        sampler_cfg=dc.replace(scfg, pad_tail_group=True))
+    # 250 frames -> 6 chunks of 64/16 overlap: groups [4, 2] -> tail padded
+    # to 4 under pad_tail_group
+    padded = np.asarray(padded_pipe.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=4))
+    np.testing.assert_array_equal(one, padded)
+
+    # "batch" restores the rounds-1-4 whole-batch noise mapping (different
+    # draws, still a valid sample)
+    legacy_pipe = InferencePipeline(
+        tr.model, tr.state.params, norm,
+        sampler_cfg=dc.replace(scfg, chunk_noise="batch"))
+    legacy = np.asarray(legacy_pipe.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=0))
+    assert not np.array_equal(one, legacy)
