@@ -13,6 +13,7 @@ throughput lever toward the >=5x-real-time target (SURVEY.md §7 step 8).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -37,6 +38,22 @@ def chunk_plan(total_frames: int, chunk_frames: int,
         (i * stride, min(i * stride + chunk_frames, total_frames))
         for i in range(n)
     ]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _per_chunk_noise(key: jax.Array, n: int, frames: int,
+                     channels: int) -> jax.Array:
+    """[n, frames, channels] initial noise where slice i is a pure function
+    of (key, i) — the per-chunk mapping that makes chunked sampling
+    invariant to batching/grouping.  Unrolled (NOT vmapped) on purpose:
+    under the rbg PRNG, vmapped normal() over folded keys collapses to a
+    single-key draw; traced per-chunk calls keep distinct streams while
+    still compiling to one device program."""
+    return jnp.stack([
+        jax.random.normal(jax.random.fold_in(key, i), (frames, channels),
+                          jnp.float32)
+        for i in range(n)
+    ])
 
 
 def crossfade_chunks(chunks: List[np.ndarray],
@@ -231,19 +248,17 @@ class InferencePipeline:
         # grouping, mesh padding, and tail-group padding.  Matches the
         # reference's serial per-chunk torch.randn (infer_test_v3m2.py:
         # 370-398).  "batch" restores the rounds-1-4 whole-batch draw.
-        # NOTE: drawn as N separate normal() calls, NOT one vmapped draw —
-        # under the rbg PRNG (the TPU serving default) vmapping normal()
-        # over folded keys collapses to a single-key batch draw (all lanes
-        # share the first key), which would silently break the per-chunk
-        # property.  N is the chunk count, so the eager dispatches are
-        # negligible.
+        # NOTE: traced as N separate normal() calls inside ONE jitted
+        # program, NOT one vmapped draw — under the rbg PRNG (the TPU
+        # serving default) vmapping normal() over folded keys collapses to
+        # a single-key batch draw (all lanes share the first key), which
+        # would silently break the per-chunk property.  Tracing them
+        # unrolled keeps per-chunk bits AND one device dispatch (9 eager
+        # draws through the tunnel cost real latency per call).
         z0_all = None
         if self.cfg.chunk_noise == "per_chunk":
-            z0_all = jnp.stack([
-                jax.random.normal(jax.random.fold_in(key, i),
-                                  (CF, lat_n.shape[-1]), jnp.float32)
-                for i in range(len(plan))
-            ])
+            z0_all = _per_chunk_noise(key, len(plan), CF,
+                                      int(lat_n.shape[-1]))
 
         groups = (
             [(0, len(plan))]
