@@ -402,13 +402,26 @@ def res_unit_fused(x: jax.Array, w7: jax.Array, b7: jax.Array,
 # infer_test_v3m2.py:409-418.
 _TBLK_TR = {768: 96, 384: 256, 192: 512}  # per-Cin row block (VMEM budget)
 
+# Phase-STREAMED row block for stages whose full polyphase weight pack
+# exceeds VMEM (decoder stage 0: Cin=1536, s=8 -> 2 x [1536, 8*768] bf16
+# = 37.7 MB resident).  The streamed variant grids over phases with the
+# phase pair's [Cin, Cout] weights as a blocked operand (4 x 2.25 MB
+# double-buffered) and the pre-snaked activation re-streamed once per
+# phase (bf16, so s passes cost ~s * 2*T*Cin*2 bytes — ~135 MB at stage-0
+# geometry, ~0.2 ms of HBM time vs the MXU's ~0.5 ms of dots).
+_TBLK_TR_STREAM = 160
+
 
 def conv_transpose_supported(c_in: int, c_out: int, stride: int,
                              k: int, t: int) -> bool:
-    """Stages where the polyphase kernel engages: K=2s (all DAC stages),
-    resident weights fit VMEM (Cin <= 768), and T fills a row block."""
-    return (k == 2 * stride and c_in in _TBLK_TR
-            and t >= _TBLK_TR[c_in])
+    """Stages where a polyphase kernel engages: K=2s (all DAC stages) and
+    T fills a row block.  Cin <= 768 takes the resident-weight kernel;
+    larger Cin (stage 0's 1536) the phase-streamed one."""
+    if k != 2 * stride:
+        return False
+    if c_in in _TBLK_TR:
+        return t >= _TBLK_TR[c_in]
+    return c_in % 128 == 0 and t >= _TBLK_TR_STREAM
 
 
 def _snake_tr_kernel(x_ref, xs_ref, wp_ref, ws_ref, a_ref, b_ref, o_ref):
@@ -420,6 +433,16 @@ def _snake_tr_kernel(x_ref, xs_ref, wp_ref, ws_ref, a_ref, b_ref, o_ref):
     acc = acc + jnp.dot(yp.astype(jnp.bfloat16), ws_ref[...],
                         preferred_element_type=jnp.float32)
     o_ref[0] = acc + b_ref[0]
+
+
+def _snake_tr_stream_kernel(y_ref, ys_ref, wp_ref, ws_ref, b_ref, o_ref):
+    # Phase-streamed: activations arrive PRE-snaked (bf16) because every
+    # phase re-reads them — snaking in-kernel would redo the tanh/sin
+    # transcendentals s times.  One phase's two taps per program.
+    acc = jnp.dot(y_ref[0], wp_ref[0], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(ys_ref[0], ws_ref[0],
+                        preferred_element_type=jnp.float32)
+    o_ref[0, :, 0] = acc + b_ref[0]
 
 
 @functools.partial(jax.jit,
@@ -443,6 +466,11 @@ def snake_conv_transpose_fused(x, w, b, alpha, *, stride: int,
     k, _, co = w.shape
     s = stride
     assert k == 2 * s, (k, s)
+    if ci not in _TBLK_TR:
+        out = _snake_conv_transpose_streamed(
+            x, w, b, alpha, stride=stride, padding=padding,
+            output_padding=output_padding, interpret=interpret)
+        return out[0] if squeeze else out
     tblk = _TBLK_TR[ci]
     cop = _round_up(co, 128)
     m_out = (t - 1) * s - 2 * padding + k + output_padding
@@ -501,3 +529,73 @@ def snake_conv_transpose_fused(x, w, b, alpha, *, stride: int,
     out = jax.lax.dynamic_slice(
         flat, (0, padding, 0), (bsz, m_out, cop))[..., :co]
     return out[0] if squeeze else out
+
+
+def _snake_conv_transpose_streamed(x, w, b, alpha, *, stride: int,
+                                   padding: int, output_padding: int,
+                                   interpret: bool):
+    """Phase-streamed polyphase transpose for stages whose full weight
+    pack exceeds VMEM (decoder stage 0: Cin=1536, s=8).
+
+    Same math as the resident kernel — flat[t*s + p] = snake(x[t]) @ w[p]
+    + snake(x[t-1]) @ w[p+s] — but the grid runs (batch, phase, row-block)
+    with ONE phase pair's [Cin, Cout] weights as a blocked operand, so
+    VMEM holds ~2 x 2.25 MB of weights instead of 2 x 18.9 MB.  Phases
+    are the outer grid axis: weights are fetched once per phase while the
+    pre-snaked bf16 activation re-streams per phase (s * ~17 MB — cheaper
+    than streaming zero-stuffed fp32 taps, which is what XLA's dilated
+    lowering does).  snake() is computed ONCE by XLA up front (fp32, then
+    cast) because an in-kernel snake would redo the transcendentals per
+    phase."""
+    bsz, t, ci = x.shape
+    k, _, co = w.shape
+    s = stride
+    tblk = _TBLK_TR_STREAM
+    m_out = (t - 1) * s - 2 * padding + k + output_padding
+
+    y = _snake(x.astype(jnp.float32), alpha.astype(jnp.float32))
+    y = y.astype(jnp.bfloat16)
+    ys = jnp.pad(y, ((0, 0), (1, 0), (0, 0)))  # ys[t] = snake(x[t-1])
+    tp = _round_up(t + 1, tblk)
+    y = jnp.pad(y, ((0, 0), (0, tp - t), (0, 0)))
+    ys = jnp.pad(ys, ((0, 0), (0, tp - t - 1), (0, 0)))
+    nblk = tp // tblk
+
+    cop = _round_up(co, 128)
+    wb = jnp.pad(w.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, cop - co)))
+    wp = wb[:s]              # [s, ci, cop] — tap p
+    ws = wb[s:]              # [s, ci, cop] — tap p + s
+    brow = jnp.pad(b.astype(jnp.float32), (0, cop - co))[None]
+
+    out4 = pl.pallas_call(
+        _snake_tr_stream_kernel,
+        grid=(bsz, s, nblk),
+        in_specs=[
+            pl.BlockSpec((1, tblk, ci), lambda bb, p, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tblk, ci), lambda bb, p, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci, cop), lambda bb, p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ci, cop), lambda bb, p, i: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cop), lambda bb, p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tblk, 1, cop),
+                               lambda bb, p, i: (bb, i, p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, s, cop), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bsz * tp * s * ci * cop,
+            bytes_accessed=bsz * s * tp * ci * 2 * 2
+            + 2 * s * ci * cop * 2 + bsz * tp * s * cop * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y, ys, wp, ws, brow)
+
+    # [tp, s, cop] rows are (t, p)-major -> free reshape, shift, trim.
+    flat = out4.reshape(bsz, tp * s, cop)
+    return jax.lax.dynamic_slice(
+        flat, (0, padding, 0), (bsz, m_out, cop))[..., :co]

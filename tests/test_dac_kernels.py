@@ -164,3 +164,35 @@ def test_snake_conv_transpose_fused_matches_layers(monkeypatch):
         err = float(jnp.max(jnp.abs(got - want)))
         rel = err / float(jnp.max(jnp.abs(want)))
         assert rel < 2e-2, (ci, rel)
+
+
+def test_snake_conv_transpose_streamed_matches_layers(monkeypatch):
+    """Phase-streamed polyphase transpose (stage-0 geometry: Cin too wide
+    for resident weights) vs snake + conv1d_transpose.  Also covers a
+    non-128-multiple Cout (channel padding) and the production
+    1536 -> 768 stride-8 shape at a shrunk T/row block."""
+    import math
+
+    from jatsr_tpu.models.dac.layers import conv1d_transpose, snake
+    from jatsr_tpu.ops import dac_kernels as dk
+
+    monkeypatch.setattr(dk, "_TBLK_TR_STREAM", 32)
+    for (ci, co, s, T) in [(1536, 768, 8, 40), (1024, 200, 4, 70)]:
+        k = 2 * s
+        pad, op = math.ceil(s / 2), s % 2
+        x = jax.random.normal(jax.random.PRNGKey(ci), (2, T, ci),
+                              jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, ci, co),
+                              jnp.float32) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(2), (co,), jnp.float32)
+        a = jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (ci,))) + 0.5
+        assert dk.conv_transpose_supported(ci, co, s, k, T)
+        got = dk.snake_conv_transpose_fused(
+            x, w, b, a, stride=s, padding=pad, output_padding=op,
+            interpret=True)
+        want = conv1d_transpose(snake(x, a), w, b, stride=s, padding=pad,
+                                output_padding=op)
+        assert got.shape == want.shape
+        err = float(jnp.max(jnp.abs(got - want)))
+        rel = err / float(jnp.max(jnp.abs(want)))
+        assert rel < 2e-2, (ci, rel)
