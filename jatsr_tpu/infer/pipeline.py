@@ -271,15 +271,20 @@ class InferencePipeline:
             g = cond[s_g:e_g]
             z0 = None if z0_all is None else z0_all[s_g:e_g]
             n_real = g.shape[0]
-            pad_b = 0
+            # Padded batch target.  With pad_tail_group the tail group is
+            # padded with CFG-null chunks (zeros in normalized space) up
+            # to the FULL group's size so it reuses that group's compiled
+            # program — exact for the real chunks under per-chunk noise.
+            # Under a mesh the target then rounds up to the data-axis
+            # multiple (the same rounding every full group gets, so the
+            # tail still compiles to the identical program shape).
+            target = n_real
             if (self.cfg.pad_tail_group and z0 is not None and gi > 0
                     and n_real < max_batch):
-                # Reuse the full-size group's compiled program: pad with
-                # CFG-null chunks (zeros in normalized space) — exact for
-                # the real chunks under per-chunk noise.
-                pad_b = max_batch - n_real
+                target = max_batch
             if self._batch_sharding is not None:
-                pad_b = max(pad_b, (-n_real) % self._data_size)
+                target += (-target) % self._data_size
+            pad_b = target - n_real
             if pad_b:
                 g = jnp.concatenate(
                     [g, jnp.zeros((pad_b,) + g.shape[1:], g.dtype)], 0

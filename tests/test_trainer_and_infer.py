@@ -754,3 +754,23 @@ def test_per_chunk_noise_grouping_invariance(trained):
     legacy = np.asarray(legacy_pipe.super_resolve_latent_device(
         lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=0))
     assert not np.array_equal(one, legacy)
+
+    # pad_tail_group UNDER a mesh: the tail target (max_batch) must also
+    # round up to the data-axis multiple — the same rounding full groups
+    # get, so both compile to one program shape.  Padding must be exact
+    # RELATIVE to the same mesh (mesh-vs-single differs by sharded
+    # reduction order, which is not this property).
+    from jatsr_tpu.parallel import make_mesh
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    # 250 frames -> 6 chunks: max_batch=4 -> groups [4, 2]: tail 2 ->
+    # target 4 (divisible by data=2).
+    mesh_nopad = InferencePipeline(tr.model, tr.state.params, norm,
+                                   sampler_cfg=scfg, mesh=mesh)
+    mesh_pad = InferencePipeline(
+        tr.model, tr.state.params, norm,
+        sampler_cfg=dc.replace(scfg, pad_tail_group=True), mesh=mesh)
+    want = np.asarray(mesh_nopad.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=4))
+    got = np.asarray(mesh_pad.super_resolve_latent_device(
+        lr_latent, jax.random.PRNGKey(7), cfg_scale=2.0, max_batch=4))
+    np.testing.assert_array_equal(got, want)
