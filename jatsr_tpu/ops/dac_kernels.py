@@ -442,7 +442,7 @@ def _snake_tr_stream_kernel(y_ref, ys_ref, wp_ref, ws_ref, b_ref, o_ref):
     acc = jnp.dot(y_ref[0], wp_ref[0], preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(ys_ref[0], ws_ref[0],
                         preferred_element_type=jnp.float32)
-    o_ref[0, :, 0] = acc + b_ref[0]
+    o_ref[0] = acc + b_ref[0]
 
 
 @functools.partial(jax.jit,
@@ -582,10 +582,14 @@ def _snake_conv_transpose_streamed(x, w, b, alpha, *, stride: int,
             pl.BlockSpec((1, cop), lambda bb, p, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tblk, 1, cop),
-                               lambda bb, p, i: (bb, i, p, 0),
+        # Phase p writes the p-th cop-wide column block of a [tp, s*cop]
+        # row — a size-1 block on a length-s axis is not Mosaic-tileable,
+        # so phases live on the lane axis (same packing as the resident
+        # kernel) and the (t, p)-major reshape below stays free.
+        out_specs=pl.BlockSpec((1, tblk, cop),
+                               lambda bb, p, i: (bb, i, p),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, tp, s, cop), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, tp, s * cop), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * bsz * tp * s * ci * cop,
             bytes_accessed=bsz * s * tp * ci * 2 * 2
@@ -595,7 +599,7 @@ def _snake_conv_transpose_streamed(x, w, b, alpha, *, stride: int,
         interpret=interpret,
     )(y, ys, wp, ws, brow)
 
-    # [tp, s, cop] rows are (t, p)-major -> free reshape, shift, trim.
+    # [tp, s*cop] rows are (t, p)-major -> free reshape, shift, trim.
     flat = out4.reshape(bsz, tp * s, cop)
     return jax.lax.dynamic_slice(
         flat, (0, padding, 0), (bsz, m_out, cop))[..., :co]
