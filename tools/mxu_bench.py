@@ -36,6 +36,17 @@ SHAPES = [
     (5520, 1280, 1280),   # q / out_proj
     (5520, 8192, 512),    # patch_in
 ]
+
+# Bench-default shapes (B=12 CFG-doubled to 24, align_n: N_patch=352 under
+# the fused prologue): --b12.  Adds the fused-QKV dot ((20+2*4)*64 = 1792
+# output cols) so every serving projection has a measured ceiling for the
+# round-5 per-op floor table.
+SHAPES_B12 = [
+    (8448, 1280, 5120),   # mlp_in
+    (8448, 5120, 1280),   # mlp_out
+    (8448, 1280, 1792),   # fused qkv
+    (8448, 1280, 1280),   # out_proj
+]
 INNER = 500
 
 
@@ -104,7 +115,7 @@ def main():
     overhead = timeit(_noop, x, iters=10)
     print(f"dispatch+fetch overhead: {overhead*1e3:.2f} ms")
 
-    for M, K, N in SHAPES:
+    for M, K, N in (SHAPES_B12 if "--b12" in sys.argv else SHAPES):
         a = jnp.asarray(rs.randn(M, K), jnp.bfloat16)
         w = jnp.asarray(rs.randn(K, N) * 0.05, jnp.bfloat16)
         flops = 2 * M * K * N
