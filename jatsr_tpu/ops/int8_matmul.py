@@ -122,6 +122,17 @@ def int8_matmul_fused(
     assert K == K2 and K % 128 == 0 and N % 128 == 0, (a.shape, w_q.shape)
 
     bm = block_m or (256 if K > 2560 else 512)
+    if not block_m:
+        # Prefer a slightly smaller row block that divides M exactly over
+        # the tuned default plus a pad: at the bench-default B=12 the
+        # out_proj M is 24*352 = 8448, which 512 does not divide — the
+        # round-up to 8704 costs a pad op, a slice, and 3% dead rows every
+        # layer (trace: 0.54 ms/step of pad alone).  Any 32-aligned block
+        # >= 256 keeps the dot MXU-efficient at these K.
+        for cand in (bm, 448, 384, 320, 256):
+            if M % cand == 0:
+                bm = cand
+                break
     # Whole-N block when the weight fits VMEM comfortably (e.g. the
     # serving out_proj, 1280x1280 int8): one program per row block, the
     # weight resident across the grid — avoids re-streaming A per column

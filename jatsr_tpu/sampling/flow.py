@@ -106,14 +106,15 @@ class FlowSampler:
     def _sample_nocfg(self, params, cond, z0, timesteps):
         jump = self.cfg.t_jump_threshold
         heun = self.cfg.solver == "heun"
+        eps = self.cfg.velocity_eps
         mods = self._tables(params, timesteps)
 
         def body(i, z):
             t_curr = timesteps[i]
             t_next = timesteps[i + 1]
             dt = t_next - t_curr
-            v1, x_pred = self._velocity(params, z, t_curr, cond,
-                                        self._mod_at(mods, i))
+            v1, _ = self._velocity(params, z, t_curr, cond,
+                                   self._mod_at(mods, i))
             if heun:
                 z_eul = z + v1 * dt
                 v2, _ = self._velocity(params, z_eul, t_next, cond,
@@ -122,7 +123,13 @@ class FlowSampler:
                 v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
             else:
                 v = v1
-            return jnp.where(t_curr < jump, z + v * dt, x_pred)
+            # t >= jump steps straight to x_pred = z + v*(1-t+eps) (the
+            # velocity definition inverted) — a SCALAR select on the step
+            # size instead of a full-tensor select_n over [B, T, C]
+            # (trace r5: 0.39 ms/step of select_n).  <= 1 ulp vs returning
+            # x_pred directly.  Ref jump: infer_test_v3m2.py:157-161.
+            dt_eff = jnp.where(t_curr < jump, dt, 1.0 - t_curr + eps)
+            return z + v * dt_eff
 
         n = timesteps.shape[0] - 1
         return jax.lax.fori_loop(0, n, body, z0)
@@ -172,14 +179,17 @@ class FlowSampler:
                 t_curr = timesteps[i]
                 t_next = timesteps[i + 1]
                 dt = t_next - t_curr
-                v1, x_pred = velocity(z, t_curr, self._mod_at(mods, i))
+                v1, _ = velocity(z, t_curr, self._mod_at(mods, i))
                 if heun:
                     v2, _ = velocity(z + v1 * dt, t_next,
                                      self._mod_at(mods, i + 1))
                     v = jnp.where(t_next < jump, 0.5 * (v1 + v2), v1)
                 else:
                     v = v1
-                return jnp.where(t_curr < jump, z + v * dt, x_pred)
+                # Scalar step-size select replaces the full-tensor jump
+                # select — see _sample_nocfg's body for the identity.
+                dt_eff = jnp.where(t_curr < jump, dt, 1.0 - t_curr + eps)
+                return z + v * dt_eff
 
             return body
 

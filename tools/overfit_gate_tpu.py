@@ -134,9 +134,17 @@ def main():
             ckdir = tempfile.mkdtemp(prefix="overfit_resume_")
             cm = CheckpointManager(ckdir)
             cm.save("last", state, epoch=0, best_val_loss=loss_before)
-            fresh = create_train_state(
-                model, tcfg, args.steps * 2,
-                (jnp.asarray(hr_b), jnp.asarray(lr_b)))
+            # Free the live state BEFORE building the restore target, and
+            # build that target abstractly (eval_shape): at 766 M two
+            # concrete train states (params + Adam moments) plus Orbax's
+            # restore shards exceed a 16 GB chip — the r5 queue's first
+            # attempt OOM'd exactly here.  restore() only reads the
+            # template's shapes/dtypes and static fields (tx, apply_fn).
+            state = None
+            fresh = jax.eval_shape(
+                lambda h, l: create_train_state(model, tcfg, args.steps * 2,
+                                                (h, l)),
+                hr_j, lr_j)
             state, meta = cm.restore("last", fresh)
             state, m = step(state, hr_j, lr_j)
             loss_after = float(m["loss"])

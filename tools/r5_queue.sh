@@ -67,8 +67,10 @@ step overfit_766m 7200 python tools/overfit_gate_tpu.py --preset v3mod2 \
 step prep_probe 7200 python -m jatsr_tpu.cli.prepare_dataset \
     --source-dirs /root/probe/songs --output-dir /tmp/probe/data
 
+# B=8: preset v3's default 28 OOMs the 16 GB chip in this two-leg gate
+# (VERDICT r4 #2b asks for B=8-16 anyway).
 step attn_gate_v3 7200 python tools/train_attn_gate.py --preset v3 \
-    --steps 200 --dropout --data-dir /tmp/probe/data \
+    --steps 200 --dropout --batch-size 8 --data-dir /tmp/probe/data \
     --out reports/attn_gate_v3_r5.json
 
 # ---- Probe retrain at 60 M, then the gate matrix incl. the asym decode gate -
