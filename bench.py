@@ -304,10 +304,12 @@ def main():
                 max_batch=args.batch)
             pieces = pipe.decode_latent_pieces(gen, seg_frames, ctx,
                                                decode_batch=args.decode_batch)
-            # scalar fetches: the only reliable completion barrier under
-            # the tunnelled backend; subsequent pieces keep computing
-            # while earlier scalars transfer.
-            return float(sum(float(p.mean()) for p in pieces))
+            # ONE scalar fetch as the completion barrier (the only
+            # reliable barrier under the tunnelled backend): reduce every
+            # piece's mean on device first — per-piece float() fetches
+            # cost a serialized ~26 ms tunnel round trip EACH (measured
+            # r5: 4 pieces ≈ 80 ms of pure host gap per call).
+            return float(sum(p.mean() for p in pieces))
 
         run_e2e(0)  # compile + warmup
         if do_trace and args.trace:

@@ -51,15 +51,22 @@ ALLOW_INTERPRET_DISPATCH = False
 
 
 def _tblk_for(c: int) -> int:
+    if c >= 768:
+        # Decoder stage 0's C=768 units: the resident weights alone hold
+        # 9.4 MB of VMEM (7*C^2 + C^2 bf16), so only a small row block
+        # fits beside them (window + double-buffered out ~= 3 MB at 128).
+        return 128
     t = max(512, _ROWS_BUDGET // c)
     return (t // 8) * 8
 
 
 def res_unit_supported(c: int, t: int, dilation: int) -> bool:
     """Eligibility: channel widths where XLA's conv lowering loses, and
-    sequences long enough to fill at least one row block."""
+    sequences long enough to fill at least one row block.  C=768 (the one
+    decoder stage the stage-fused kernel can't take — 3 units' weights
+    exceed VMEM) runs per-unit with a small row block."""
     cp = -(-c // 128) * 128
-    return c <= 384 and t >= _tblk_for(cp) + 6 * dilation
+    return c <= 768 and t >= _tblk_for(cp) + 6 * dilation
 
 
 def _round_up(x: int, m: int) -> int:

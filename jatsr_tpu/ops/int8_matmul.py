@@ -128,8 +128,11 @@ def int8_matmul_fused(
         # out_proj M is 24*352 = 8448, which 512 does not divide — the
         # round-up to 8704 costs a pad op, a slice, and 3% dead rows every
         # layer (trace: 0.54 ms/step of pad alone).  Any 32-aligned block
-        # >= 256 keeps the dot MXU-efficient at these K.
-        for cand in (bm, 448, 384, 320, 256):
+        # >= 256 keeps the dot MXU-efficient at these K, so search every
+        # 32-aligned candidate down from the tuned default (B=9 grouping
+        # yields M = 18*352 = 6336, whose largest such divisor is 352 —
+        # a fixed shortlist missed it).
+        for cand in range(bm, 255, -32):
             if M % cand == 0:
                 bm = cand
                 break

@@ -40,6 +40,39 @@ def test_res_unit_fused_matches_composition(dilation):
                                atol=5e-2, rtol=5e-2)
 
 
+@pytest.mark.parametrize("dilation", [1, 9])
+def test_res_unit_fused_c768(dilation):
+    """Decoder stage 0's C=768 units (round 5: the one stage that ran on
+    the XLA conv fallback) — small row block beside 9.4 MB of resident
+    weights; parity vs the layer composition at a short T."""
+    from jatsr_tpu.models.dac.layers import conv1d, snake
+    from jatsr_tpu.ops.dac_kernels import res_unit_fused, res_unit_supported
+
+    T, C = 256, 768
+    assert res_unit_supported(C, T, dilation)
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w7 = jax.random.normal(ks[1], (7, C, C), jnp.float32) * 0.02
+    b7 = jax.random.normal(ks[2], (C,), jnp.float32) * 0.1
+    w1 = jax.random.normal(ks[3], (1, C, C), jnp.float32) * 0.02
+    b1 = jax.random.normal(ks[4], (C,), jnp.float32) * 0.1
+    a1 = jnp.abs(jax.random.normal(ks[5], (C,), jnp.float32)) + 0.5
+    a2 = jnp.abs(jax.random.normal(ks[6], (C,), jnp.float32)) + 0.5
+
+    got = res_unit_fused(x, w7, b7, w1, b1, a1, a2,
+                         dilation=dilation, interpret=True)
+
+    xb = x[None]
+    y = snake(xb, a1)
+    y = conv1d(y, w7, b7, padding=3 * dilation, dilation=dilation)
+    y = snake(y, a2)
+    y = conv1d(y, w1, b1)
+    want = (xb + y)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=8e-2, rtol=8e-2)
+
+
 def test_res_unit_fused_batched_matches_per_element():
     """[B, T, C] input through ONE pallas_call (grid carries the batch
     dim) must equal per-element kernel calls (ADVICE r3: no Python loop
