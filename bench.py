@@ -161,6 +161,9 @@ def main():
                     help="end-to-end mode: decode segments per decoder "
                          "call ([S, L, C] batched decode; amortises "
                          "per-call overheads — VERDICT r4 #4)")
+    ap.add_argument("--skip-e2e", action="store_true",
+                    help="print only the sampler headline (cheap A/B "
+                         "sweeps; the default output includes both lines)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of ONE post-warmup "
                          "iteration of the EXACT bench program into DIR "
@@ -365,7 +368,7 @@ def main():
                 f"{args.steps}-step CFG {args.cfg_scale}, {precision})",
         "vs_baseline": round(value / A100_BASELINE_RTF, 3),
     }
-    if not args.quick:
+    if not args.quick and not args.skip_e2e:
         # Also record the user-visible composed workload (VERDICT r4 #8) so
         # every BENCH file carries both numbers.  The sampler headline stays
         # the LAST line — the driver parses the final JSON line as the

@@ -109,6 +109,15 @@ def main():
             fn = lambda xx: dk.res_stage_fused(xx, w7s, b7s, w1s, b1s,
                                                a1s, a2s)
             row["res_stage_ms"] = 1e3 * _chain(fn, xr, args.iters)
+        elif dk.res_unit_supported(cout, t_up, 9):
+            # C=768: the per-unit kernel path (r5) — 3 chained units.
+            def units(xx):
+                for u in range(3):
+                    xx = dk.res_unit_fused(
+                        xx, w7s[u], b7s[u], w1s[u], b1s[u], a1s[u], a2s[u],
+                        dilation=(1, 3, 9)[u])
+                return xx
+            row["res_units_ms"] = 1e3 * _chain(units, xr, args.iters)
 
             # snake -> identity ablation (timing only; retrace needed)
             real_snake = dk._snake
