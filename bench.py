@@ -161,6 +161,10 @@ def main():
                     help="end-to-end mode: decode segments per decoder "
                          "call ([S, L, C] batched decode; amortises "
                          "per-call overheads — VERDICT r4 #4)")
+    ap.add_argument("--snake-bf16", action="store_true",
+                    help="end-to-end mode: DAC decode snake transcendentals "
+                         "in bf16 (VPU half-width double rate; "
+                         "quality-gate before defaulting)")
     ap.add_argument("--skip-e2e", action="store_true",
                     help="print only the sampler headline (cheap A/B "
                          "sweeps; the default output includes both lines)")
@@ -193,6 +197,10 @@ def main():
     from jatsr_tpu.utils.runtime import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.snake_bf16:
+        from jatsr_tpu.ops import dac_kernels as _dk
+
+        _dk.set_snake_compute_dtype("bfloat16")
 
     from jatsr_tpu.configs import SamplerConfig, get_preset
     from jatsr_tpu.models import DiT, count_params

@@ -77,6 +77,32 @@ def _snake(x, a):
     return x + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(a * x))
 
 
+# Snake transcendental width for the DOT-FEEDING activations: the sin
+# output is immediately cast to bf16 for the tap dots, and the VPU runs
+# transcendentals at the half-width double rate (same lever as the
+# attention kernel's bf16 exp2 — ops/attention.py) — so computing the
+# snake in bf16 loses nothing the bf16 cast wasn't already losing, at
+# ~2x the VPU rate.  fp32 default (bit-parity with the composition
+# tests); flipped by the serving knob after its decoded-metric gate.
+SNAKE_COMPUTE_DTYPE = jnp.float32
+
+
+def _snake_b16(x, a):
+    """snake -> bf16, transcendentals in SNAKE_COMPUTE_DTYPE."""
+    dt = SNAKE_COMPUTE_DTYPE
+    return _snake(x.astype(dt), a.astype(dt)).astype(jnp.bfloat16)
+
+
+def set_snake_compute_dtype(name: str) -> None:
+    """Serving knob: "float32" (default) or "bfloat16".  Must be called
+    BEFORE the first decode trace — the jitted kernels capture the global
+    at trace time and jax's cache key does not include it (tools that
+    A/B both settings in one process must jax.clear_caches() between)."""
+    global SNAKE_COMPUTE_DTYPE
+    SNAKE_COMPUTE_DTYPE = {"float32": jnp.float32,
+                           "bfloat16": jnp.bfloat16}[name]
+
+
 def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
                      o_ref, xwin, sem, *, tblk: int, d: int, w8: int):
     b = pl.program_id(0)
@@ -113,14 +139,14 @@ def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
     x = xwin[lin % 2]  # [w8, C] fp32 (includes the 3d zero-pad margins)
     a1 = a1_ref[:]
     # snake(0) == 0, so the zero-pad margins stay exact conv padding.
-    y = _snake(x, a1).astype(jnp.bfloat16)
+    y = _snake_b16(x, a1)
 
     acc = jnp.dot(y[:tblk], w7_ref[0],
                   preferred_element_type=jnp.float32)
     for k in range(1, 7):
         acc = acc + jnp.dot(y[k * d: k * d + tblk], w7_ref[k],
                             preferred_element_type=jnp.float32)
-    y2 = _snake(acc + b7_ref[:], a2_ref[:]).astype(jnp.bfloat16)
+    y2 = _snake_b16(acc + b7_ref[:], a2_ref[:])
     y3 = jnp.dot(y2, w1_ref[:], preferred_element_type=jnp.float32)
     o_ref[0] = x[3 * d: 3 * d + tblk] + y3 + b1_ref[:]
 
@@ -198,13 +224,13 @@ def _res_stage_kernel(x_hbm, w7s, b7s, w1s, b1s, a1s, a2s, o_ref, xwin, sem,
             gidx = jax.lax.broadcasted_iota(jnp.int32, (length, 1), 0) + g0
             x = jnp.where((gidx >= 0) & (gidx < t), x, 0.0)
         out_len = length - 6 * d
-        y = _snake(x, a1s[u:u + 1]).astype(jnp.bfloat16)
+        y = _snake_b16(x, a1s[u:u + 1])
         acc = jnp.dot(y[:out_len], w7s[u, 0],
                       preferred_element_type=jnp.float32)
         for k in range(1, 7):
             acc = acc + jnp.dot(y[k * d: k * d + out_len], w7s[u, k],
                                 preferred_element_type=jnp.float32)
-        y2 = _snake(acc + b7s[u:u + 1], a2s[u:u + 1]).astype(jnp.bfloat16)
+        y2 = _snake_b16(acc + b7s[u:u + 1], a2s[u:u + 1])
         y3 = jnp.dot(y2, w1s[u], preferred_element_type=jnp.float32)
         x = x[3 * d: 3 * d + out_len] + y3 + b1s[u:u + 1]
         length = out_len
@@ -433,11 +459,10 @@ def conv_transpose_supported(c_in: int, c_out: int, stride: int,
 
 def _snake_tr_kernel(x_ref, xs_ref, wp_ref, ws_ref, a_ref, b_ref, o_ref):
     a = a_ref[0]
-    y = _snake(x_ref[0].astype(jnp.float32), a)
-    yp = _snake(xs_ref[0].astype(jnp.float32), a)
-    acc = jnp.dot(y.astype(jnp.bfloat16), wp_ref[...],
-                  preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(yp.astype(jnp.bfloat16), ws_ref[...],
+    y = _snake_b16(x_ref[0].astype(jnp.float32), a)
+    yp = _snake_b16(xs_ref[0].astype(jnp.float32), a)
+    acc = jnp.dot(y, wp_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(yp, ws_ref[...],
                         preferred_element_type=jnp.float32)
     o_ref[0] = acc + b_ref[0]
 
@@ -560,8 +585,7 @@ def _snake_conv_transpose_streamed(x, w, b, alpha, *, stride: int,
     tblk = _TBLK_TR_STREAM
     m_out = (t - 1) * s - 2 * padding + k + output_padding
 
-    y = _snake(x.astype(jnp.float32), alpha.astype(jnp.float32))
-    y = y.astype(jnp.bfloat16)
+    y = _snake_b16(x.astype(jnp.float32), alpha)
     ys = jnp.pad(y, ((0, 0), (1, 0), (0, 0)))  # ys[t] = snake(x[t-1])
     tp = _round_up(t + 1, tblk)
     y = jnp.pad(y, ((0, 0), (0, tp - t), (0, 0)))

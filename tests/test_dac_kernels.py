@@ -40,6 +40,43 @@ def test_res_unit_fused_matches_composition(dilation):
                                atol=5e-2, rtol=5e-2)
 
 
+def test_res_unit_fused_snake_bf16_mode():
+    """SNAKE_COMPUTE_DTYPE=bfloat16 (the r5 VPU half-width lever) must
+    stay within loose tolerance of the fp32 composition — the argument
+    rounding adds ~0.4% on top of the bf16 dot class."""
+    from jatsr_tpu.models.dac.layers import conv1d, snake
+    from jatsr_tpu.ops import dac_kernels as dk
+
+    T, C, d = 1024, 128, 3
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (T, C), jnp.float32)
+    w7 = jax.random.normal(ks[1], (7, C, C), jnp.float32) * 0.05
+    b7 = jax.random.normal(ks[2], (C,), jnp.float32) * 0.1
+    w1 = jax.random.normal(ks[3], (1, C, C), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[4], (C,), jnp.float32) * 0.1
+    a1 = jnp.abs(jax.random.normal(ks[5], (C,), jnp.float32)) + 0.5
+    a2 = jnp.abs(jax.random.normal(ks[6], (C,), jnp.float32)) + 0.5
+
+    try:
+        dk.set_snake_compute_dtype("bfloat16")
+        jax.clear_caches()
+        got = dk.res_unit_fused(x, w7, b7, w1, b1, a1, a2,
+                                dilation=d, interpret=True)
+    finally:
+        dk.set_snake_compute_dtype("float32")
+        jax.clear_caches()
+
+    xb = x[None]
+    y = snake(xb, a1)
+    y = conv1d(y, w7, b7, padding=3 * d, dilation=d)
+    y = snake(y, a2)
+    y = conv1d(y, w1, b1)
+    want = (xb + y)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1.5e-1, rtol=1.5e-1)
+
+
 @pytest.mark.parametrize("dilation", [1, 9])
 def test_res_unit_fused_c768(dilation):
     """Decoder stage 0's C=768 units (round 5: the one stage that ran on

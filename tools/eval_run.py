@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--fused-decode", action="store_true",
                     help="decode through the fused Pallas residual-unit "
                          "kernels (the --fused-decode serving knob)")
+    ap.add_argument("--snake-bf16", action="store_true",
+                    help="fused decode: snake transcendentals in bf16 "
+                         "(r5 VPU lever — gate condition)")
     ap.add_argument("--unfused-gt-decode", action="store_true",
                     help="with --fused-decode: decode the ground-truth/LR "
                          "reference audio through the UNFUSED XLA decoder "
@@ -84,6 +87,10 @@ def main():
     args = ap.parse_args()
     if args.fused_prologue:
         args.fused_mlp = True
+    if args.snake_bf16:
+        from jatsr_tpu.ops import dac_kernels as _dk
+
+        _dk.set_snake_compute_dtype("bfloat16")
 
     from jatsr_tpu.utils.runtime import select_platform
 
@@ -268,6 +275,7 @@ def main():
         "solver": args.solver,
         "seeds": list(args.seeds),
         "fused_decode": bool(args.fused_decode),
+        "snake_compute": "bfloat16" if args.snake_bf16 else "float32",
         # codec provenance (ADVICE r4 #1): which weights decoded the audio,
         # and whether GT/LR went through the unfused parity decoder.
         "codec_source": codec_source,

@@ -47,6 +47,11 @@ CONDITIONS = {
     # epilogue ops than tanh, max abs err ~0.02) — sanction only if the
     # decoded-metric delta vs parity is within noise.
     "gelu_sigmoid": ["--gelu", "sigmoid"],
+    # r5: bf16 snake transcendentals in the fused decode (VPU half-width
+    # double rate), asym vs the unfused-XLA GT decoder so decoder-numerics
+    # errors cannot cancel.
+    "snake_bf16_asym": ["--fused-decode", "--unfused-gt-decode",
+                        "--snake-bf16"],
 }
 
 

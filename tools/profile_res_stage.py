@@ -62,8 +62,13 @@ def main():
     ap.add_argument("--ctx", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stages", nargs="*", type=int, default=[0, 1, 2, 3])
+    ap.add_argument("--snake-bf16", action="store_true",
+                    help="run the snake transcendentals in bf16 (the VPU "
+                         "half-width double-rate lever)")
     args = ap.parse_args()
 
+    if args.snake_bf16:
+        dk.set_snake_compute_dtype("bfloat16")
     enable_compilation_cache()
     print(f"backend: {jax.default_backend()}", flush=True)
 

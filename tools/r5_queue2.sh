@@ -56,6 +56,8 @@ EOF
 fi
 
 step resstage_profile 3000 python tools/profile_res_stage.py --iters 8
+step resstage_profile_b16 3000 python tools/profile_res_stage.py --iters 8 \
+    --snake-bf16 --stages 1 2 3
 step bench_head 3600 python bench.py --iters 2
 step bench_gelu_sigmoid 1800 python bench.py --iters 2 --gelu sigmoid --skip-e2e
 step bench_b14 1800 python bench.py --iters 2 --batch 14 --skip-e2e
