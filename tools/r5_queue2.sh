@@ -67,6 +67,12 @@ step bench_b16 1800 python bench.py --iters 2 --batch 16 --skip-e2e
 step overfit_766m_2k 7200 python tools/overfit_gate_tpu.py --preset v3mod2 \
     --steps 2000 --resume-midway --out reports/overfit_766m_r5.json
 
+# retry of queue1's attn_gate_v3 (OOM: two 766 M legs in one process;
+# the tool now re-execs one subprocess per leg)
+step attn_gate_v3b 10800 python tools/train_attn_gate.py --preset v3 \
+    --steps 200 --dropout --batch-size 8 --data-dir /tmp/probe/data \
+    --out reports/attn_gate_v3_r5.json
+
 # ---- C: probe retrain + the scale-transfer gate matrices -------------------
 step train_probe_60m 14400 python -m jatsr_tpu.cli.train --preset v1 \
     --data-dir /tmp/probe/data --epochs 80 --cfg-dropout 0.1 \

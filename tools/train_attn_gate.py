@@ -71,7 +71,37 @@ def main():
                          " curves are only statistically comparable)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="/tmp/attn_gate.json")
+    ap.add_argument("--impl", default="both", choices=["both", "xla",
+                                                       "flash"],
+                    help="run one leg and dump its curves (used internally:"
+                         " 'both' re-execs itself per leg so each 766 M "
+                         "train state gets a FRESH process/HBM — two legs "
+                         "in one process OOM'd a 16 GB chip, r5 queue)")
     args = ap.parse_args()
+
+    if args.impl == "both":
+        import subprocess
+        import tempfile
+
+        curves = {}
+        for impl in ("xla", "flash"):
+            print(f"=== training {args.steps} steps with {impl} attention "
+                  f"(subprocess) ===", flush=True)
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                cmd = [sys.executable, __file__, "--impl", impl,
+                       "--out", tf.name, "--preset", args.preset,
+                       "--data-dir", args.data_dir,
+                       "--steps", str(args.steps)]
+                if args.dropout:
+                    cmd.append("--dropout")
+                if args.batch_size:
+                    cmd += ["--batch-size", str(args.batch_size)]
+                if args.platform:
+                    cmd += ["--platform", args.platform]
+                subprocess.run(cmd, check=True)
+                curves[impl] = json.load(open(tf.name))["curves"]
+        _compare_and_write(args, curves)
+        return
 
     from jatsr_tpu.utils.runtime import (enable_compilation_cache,
                                          select_platform)
@@ -93,12 +123,14 @@ def main():
         train=dataclasses.replace(preset.train, **tover),
     )
 
-    curves = {}
-    for impl in ("xla", "flash"):
-        print(f"=== training {args.steps} steps with {impl} attention ===",
-              flush=True)
-        curves[impl] = run_leg(preset, args.data_dir, impl, args.steps)
+    # single-leg mode: run and dump raw curves
+    curves_one = run_leg(preset, args.data_dir, args.impl, args.steps)
+    with open(args.out, "w") as f:
+        json.dump({"impl": args.impl, "curves": curves_one}, f)
+    print(f"[leg {args.impl}] curves -> {args.out}")
 
+
+def _compare_and_write(args, curves):
     lx, lf = curves["xla"][0], curves["flash"][0]
     n = len(lx)
     abs_d = [abs(a - b) for a, b in zip(lx, lf)]
