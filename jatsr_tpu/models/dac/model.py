@@ -138,7 +138,7 @@ def _res_unit(p, x, dilation, fused=False):
     """Snake -> dilated 7-conv -> Snake -> 1x1 conv, residual add.  With
     padding 3*dilation the length is preserved, so no trim is needed.
 
-    ``fused=True`` routes eligible shapes (C <= 768, fp32) through the
+    ``fused=True`` routes eligible shapes (C <= 384, fp32) through the
     Pallas fused kernel (ops/dac_kernels.py): one HBM round-trip for the
     whole unit instead of XLA's channels-major conv pipeline with its
     im2col materialisation and relayout reshapes — the profiled decode

@@ -62,11 +62,14 @@ def _tblk_for(c: int) -> int:
 
 def res_unit_supported(c: int, t: int, dilation: int) -> bool:
     """Eligibility: channel widths where XLA's conv lowering loses, and
-    sequences long enough to fill at least one row block.  C=768 (the one
-    decoder stage the stage-fused kernel can't take — 3 units' weights
-    exceed VMEM) runs per-unit with a small row block."""
+    sequences long enough to fill at least one row block.  C=768 measured
+    8x SLOWER than XLA's conv here (r5, reports/r5/c768_validate.json:
+    51.2 vs 6.3 ms/unit at T=23072 — the 9.4 MB resident weights force a
+    128-row block that starves the MXU, while XLA's fp32 conv at C=768 is
+    already near its dot floor), so the gate stays at the small-channel
+    widths where the kernel wins."""
     cp = -(-c // 128) * 128
-    return c <= 768 and t >= _tblk_for(cp) + 6 * dilation
+    return c <= 384 and t >= _tblk_for(cp) + 6 * dilation
 
 
 def _round_up(x: int, m: int) -> int:

@@ -79,14 +79,14 @@ def test_res_unit_fused_snake_bf16_mode():
 
 @pytest.mark.parametrize("dilation", [1, 9])
 def test_res_unit_fused_c768(dilation):
-    """Decoder stage 0's C=768 units (round 5: the one stage that ran on
-    the XLA conv fallback) — small row block beside 9.4 MB of resident
-    weights; parity vs the layer composition at a short T."""
+    """C=768 kernel correctness (the r5 on-chip A/B measured it 8x slower
+    than XLA's conv at stage-0 geometry, so production dispatch does NOT
+    take it — res_unit_supported gates at C<=384 — but the kernel remains
+    valid for other geometries)."""
     from jatsr_tpu.models.dac.layers import conv1d, snake
-    from jatsr_tpu.ops.dac_kernels import res_unit_fused, res_unit_supported
+    from jatsr_tpu.ops.dac_kernels import res_unit_fused
 
     T, C = 256, 768
-    assert res_unit_supported(C, T, dilation)
     key = jax.random.PRNGKey(1)
     ks = jax.random.split(key, 8)
     x = jax.random.normal(ks[0], (T, C), jnp.float32)
