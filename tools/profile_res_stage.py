@@ -45,7 +45,8 @@ def _chain(fn, x, iters):
         def body(i, x0):
             out = fn(x0)
             # fold a scalar back in: data dependence defeats CSE
-            return x0 * 0.999 + 0.001 * jnp.mean(out)
+            return (x0 * 0.999
+                    + 0.001 * jnp.mean(out).astype(x0.dtype)).astype(x0.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
     loop(x).block_until_ready()  # compile
