@@ -49,7 +49,11 @@ def _chain(fn, x, iters):
                     + 0.001 * jnp.mean(out).astype(x0.dtype)).astype(x0.dtype)
         return jax.lax.fori_loop(0, iters, body, x)
 
-    loop(x).block_until_ready()  # compile
+    # warmup barrier via SCALAR FETCH: block_until_ready can return before
+    # remote execution completes under the tunnelled backend, which would
+    # bill the warmup's real run to the first timed call (this produced a
+    # phantom 9x outlier in validate_c768's first measurement, r5).
+    float(loop(x).mean())
     t0 = time.perf_counter()
     r = float(loop(x).mean())
     dt = time.perf_counter() - t0

@@ -78,7 +78,10 @@ def main():
                 def body(i, x0):
                     return x0 * 0.999 + 0.001 * jnp.mean(fn(x0))
                 return jax.lax.fori_loop(0, args.iters, body, xx)
-            loop(x).block_until_ready()
+            # scalar-fetch warmup barrier (block_until_ready lies under
+            # the tunnel: the first d=1 measurement absorbed the warmup's
+            # real execution and read 51 ms vs the true ~5.7)
+            float(loop(x).mean())
             t0 = time.perf_counter()
             r = float(loop(x).mean())
             assert r == r
