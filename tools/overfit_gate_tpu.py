@@ -27,7 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="default 1e-3 for the 60 M v1 gate; 2e-4 for "
+                         "766 M presets (1e-3 at 766 M sits on an Adam "
+                         "noise floor ~0.40 — measured r5 queue)")
     ap.add_argument("--preset", default="v1",
                     help="v1 = 60 M (the round-3 gate); v3mod2 = the 766 M "
                          "flagship at production geometry with the full "
@@ -92,8 +95,10 @@ def main():
     lr_b = np.repeat(lr_lat, B, axis=0)
 
     preset = get_preset(args.preset)  # v1 = 60 M; v3mod2 = 766 M flagship
+    lr_eff = args.lr if args.lr is not None else (
+        1e-3 if args.preset == "v1" else 2e-4)
     mcfg = dataclasses.replace(preset.model, dropout=0.0, drop_path_rate=0.0)
-    tcfg = dataclasses.replace(preset.train, lr=args.lr, warmup_steps=30,
+    tcfg = dataclasses.replace(preset.train, lr=lr_eff, warmup_steps=30,
                                condition_noise_ratio=0.0, batch_size=B,
                                cfg_dropout_prob=0.0)
     model = DiT(mcfg)
@@ -106,19 +111,40 @@ def main():
     step = jax.jit(make_train_step(preset.loss, tcfg, norm),
                    donate_argnums=(0,))
 
+    # Irreducible loss floor at perfect memorization: the v3mod2 stack's
+    # HybridConsistencyLoss compares pred against the *LR* latent
+    # (ref train_ddp_v3mod2.py:172-271), so total loss at pred == target
+    # is NOT zero — at 766 M the r5 queue measured a 0.40 plateau that
+    # is almost entirely this floor.  Gate on the floor-adjusted ratio
+    # (and on the pure reconstruction term), matching the reference
+    # gate's intent (tests/test_dac_overfit_v2.py:210-305: plain-MSE
+    # loss < 0.05x initial).
+    from jatsr_tpu.losses.perceptual import total_training_loss
+
+    hr_n = norm.norm_hr(jnp.asarray(hr, jnp.float32))
+    lr_n = norm.norm_lr(jnp.asarray(lr_lat, jnp.float32))
+    floor_loss, floor_m = jax.jit(total_training_loss, static_argnums=3)(
+        hr_n, hr_n, lr_n, preset.loss)
+    floor = float(floor_loss)
+    print(f"loss floor at pred==target: {floor:.5f} "
+          f"(recon {float(floor_m['recon_loss']):.2e})")
+
     hr_j, lr_j = jnp.asarray(hr_b), jnp.asarray(lr_b)
     t0 = time.time()
     first = None
+    recon_first = None
     resumed = None
     half = args.steps // 2
     for i in range(args.steps):
         state, m = step(state, hr_j, lr_j)
         if first is None:
             first = float(m["loss"])
-            print(f"step 0: loss {first:.4f} (compile "
-                  f"{time.time()-t0:.0f}s)")
+            recon_first = float(m["recon_loss"])
+            print(f"step 0: loss {first:.4f} recon {recon_first:.4f} "
+                  f"(compile {time.time()-t0:.0f}s)")
         elif (i + 1) % 100 == 0:
-            print(f"step {i+1}: loss {float(m['loss']):.5f}")
+            print(f"step {i+1}: loss {float(m['loss']):.5f} "
+                  f"recon {float(m['recon_loss']):.5f}")
         if args.resume_midway and i + 1 == half:
             # Full checkpoint -> FRESH state -> restore -> continue: the
             # 766 M-scale resume evidence VERDICT r4 #2c asks for.  The
@@ -153,6 +179,7 @@ def main():
             print(f"[resume] ckpt at step {half}: loss {loss_before:.5f} "
                   f"-> restored+1 step {loss_after:.5f}")
     last = float(m["loss"])
+    recon_last = float(m["recon_loss"])
 
     sampler = FlowSampler(
         lambda p, z, tt, c: model.apply({"params": p}, z, tt, c),
@@ -167,16 +194,29 @@ def main():
     wav_gt = np.asarray(codec.decode(jnp.asarray(hr)))[0, :, 0]
     corr_wav = float(np.corrcoef(wav_gen, wav_gt)[0, 1])
 
-    ok = (last < 0.05 * first) and corr_latent > 0.99 and corr_wav > 0.95
-    print(json.dumps({
+    adj_ratio = (last - floor) / max(first - floor, 1e-9)
+    recon_ratio = recon_last / max(recon_first, 1e-9)
+    ok = (adj_ratio < 0.05) and recon_ratio < 0.05 \
+        and corr_latent > 0.99 and corr_wav > 0.95
+    result = {
         "gate": "overfit_production_geometry",
         "backend": jax.default_backend(),
         "loss_first": round(first, 4), "loss_last": round(last, 5),
-        "loss_ratio": round(last / first, 5),
+        "loss_floor": round(floor, 5),
+        "loss_ratio_floor_adj": round(adj_ratio, 5),
+        "recon_first": round(recon_first, 4),
+        "recon_last": round(recon_last, 6),
+        "recon_ratio": round(recon_ratio, 5),
         "latent_corr": round(corr_latent, 5),
         "wav_corr": round(corr_wav, 5),
+        "lr": lr_eff,
         "steps": args.steps, "ok": ok,
-    }))
+    }
+    if resumed is not None:
+        result["resume"] = resumed
+    print(json.dumps(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=1))
     sys.exit(0 if ok else 1)
 
 
